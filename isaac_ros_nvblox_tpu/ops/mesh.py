@@ -1,0 +1,236 @@
+"""Incremental marching-cubes mesh integrator.
+
+Reference: nvblox's CUDA mesh integrator — marching cubes over updated TSDF
+blocks, per-vertex color, optional vertex welding (SURVEY.md §2.1 "Mesh
+integrator"; params `mesh_integrator_min_weight`,
+`mesh_integrator_weld_vertices`, mapper_initialization.cpp:374-380).
+
+TPU-native design: the device kernel computes, for a batch of dirty blocks,
+fixed-capacity triangle soup `[N, 512, MAX_TRIS, 3, 3]` + validity mask in
+one fused jitted pass (halo-gathered +1 corner plane, table lookups are
+gathers over the derived connectivity tables in mesh_tables.py). Variable-
+length compaction — which XLA hates — happens once, on the host, per dirty
+block batch (numpy boolean indexing), mirroring how the reference serializes
+mesh blocks to host for publishing anyway (layer_publishing.cpp:702-711).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isaac_ros_nvblox_tpu.core.types import VOXELS_PER_SIDE, block_size_m
+from isaac_ros_nvblox_tpu.ops.halo import gather_halo
+from isaac_ros_nvblox_tpu.ops.mesh_tables import (MAX_TRIS_PER_CUBE, CORNERS,
+                                                  build_tables)
+
+B = VOXELS_PER_SIDE
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshIntegratorParams:
+    min_weight: float = 1e-4   # mesh_integrator_min_weight
+    weld_vertices: bool = True  # mesh_integrator_weld_vertices
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size_m", "min_weight"))
+def marching_cubes_blocks(tsdf_grid, weight_grid, color_grid, neighbor_slots,
+                          block_indices, *, voxel_size_m: float,
+                          min_weight: float):
+    """Extract triangles for a batch of blocks.
+
+    Args:
+      tsdf_grid, weight_grid: `[cap, 8, 8, 8]` grid views of the TSDF pool.
+      color_grid: `[cap, 8, 8, 8, 3]` color grid view (pass zeros if no
+        color layer).
+      neighbor_slots: `i32[N, 27]` neighbor rows for the batch.
+      block_indices: `i32[N, 3]`.
+
+    Returns:
+      verts:  f32[N, 512, MAX_TRIS, 3, 3] triangle vertex positions (layer frame)
+      colors: f32[N, 512, MAX_TRIS, 3, 3] per-vertex RGB (0-255 scale)
+      valid:  bool[N, 512, MAX_TRIS]
+    """
+    tri_table, tri_counts, ea, eb = build_tables()
+    tri_table = jnp.asarray(tri_table)   # [256, MAX_TRIS*3]
+    tri_counts = jnp.asarray(tri_counts)
+    corners = jnp.asarray(CORNERS)       # [8, 3]
+    ea = jnp.asarray(ea)
+    eb = jnp.asarray(eb)
+
+    d_pad = gather_halo(tsdf_grid, neighbor_slots, lo=0, hi=1, fill=0.0)
+    w_pad = gather_halo(weight_grid, neighbor_slots, lo=0, hi=1, fill=0.0)
+    c_pad = gather_halo(color_grid, neighbor_slots, lo=0, hi=1, fill=0.0)
+    N = d_pad.shape[0]
+
+    # Corner samples for each of the 8x8x8 cubes: [N, 8, 8, 8, corner].
+    def corner_stack(pad):
+        return jnp.stack(
+            [pad[:, cx:cx + B, cy:cy + B, cz:cz + B]
+             for (cx, cy, cz) in np.asarray(CORNERS).tolist()], axis=-1)
+
+    cd = corner_stack(d_pad)                     # [N,8,8,8,8]
+    cw = corner_stack(w_pad)
+    cc = jnp.stack(
+        [c_pad[:, cx:cx + B, cy:cy + B, cz:cz + B]
+         for (cx, cy, cz) in np.asarray(CORNERS).tolist()], axis=-2)  # [N,8,8,8,8,3]
+
+    cube_ok = jnp.all(cw >= min_weight, axis=-1)  # [N,8,8,8]
+    bits = (cd < 0.0).astype(jnp.int32)
+    config = jnp.sum(bits * (2 ** jnp.arange(8, dtype=jnp.int32)), axis=-1)
+    config = jnp.where(cube_ok, config, 0)       # invalid cubes -> empty case
+
+    V = B ** 3
+    cd = cd.reshape(N, V, 8)
+    cc = cc.reshape(N, V, 8, 3)
+    config = config.reshape(N, V)
+
+    # Edge crossing positions (local cube coords) + interpolated colors.
+    da = jnp.take_along_axis(cd, ea[None, None, :], axis=-1)  # [N,V,12]
+    db = jnp.take_along_axis(cd, eb[None, None, :], axis=-1)
+    t = da / jnp.where(jnp.abs(da - db) > 1e-12, da - db, 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    pa = corners[ea].astype(jnp.float32)  # [12, 3]
+    pb = corners[eb].astype(jnp.float32)
+    edge_pos = pa[None, None] + t[..., None] * (pb - pa)[None, None]  # [N,V,12,3]
+
+    ca = jnp.take_along_axis(cc, ea[None, None, :, None], axis=-2)  # [N,V,12,3]
+    cb = jnp.take_along_axis(cc, eb[None, None, :, None], axis=-2)
+    edge_col = ca + t[..., None] * (cb - ca)
+
+    # Table lookup: triangle edge ids per cube.
+    tri_edges = tri_table[config]  # [N, V, MAX_TRIS*3]
+    n_tris = tri_counts[config]    # [N, V]
+    safe_edges = jnp.maximum(tri_edges, 0)
+    verts_local = jnp.take_along_axis(
+        edge_pos, safe_edges[..., None], axis=-2)  # [N, V, MAX_TRIS*3, 3]
+    colors = jnp.take_along_axis(edge_col, safe_edges[..., None], axis=-2)
+
+    # Local cube base coordinates (voxel within block).
+    r = jnp.arange(B, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
+    base = jnp.stack([gx, gy, gz], axis=-1).reshape(1, V, 1, 3)
+    block_origin = (block_indices.astype(jnp.float32) * B)[:, None, None, :]
+    # TSDF samples live at voxel centers -> cube corner (0,0,0) sits at the
+    # center of voxel `base`, i.e. at (base + 0.5) * voxel_size.
+    verts = (verts_local + base + 0.5 + block_origin) * voxel_size_m
+
+    verts = verts.reshape(N, V, MAX_TRIS_PER_CUBE, 3, 3)
+    colors = colors.reshape(N, V, MAX_TRIS_PER_CUBE, 3, 3)
+    tri_idx = jnp.arange(MAX_TRIS_PER_CUBE, dtype=jnp.int32)[None, None, :]
+    valid = tri_idx < n_tris[..., None]
+    return verts, colors, valid
+
+
+@dataclasses.dataclass
+class MeshBlock:
+    """Host-side compacted mesh for one block (parity: nvblox MeshBlock)."""
+    vertices: np.ndarray   # f32[V, 3]
+    colors: np.ndarray     # u8[V, 3]
+    triangles: np.ndarray  # i32[T, 3] indices into vertices
+
+
+class MeshLayer:
+    """Host-side mesh store: block index -> MeshBlock.
+
+    The device produces triangle soup per block; welding (deduplicating
+    shared vertices) happens here with a numpy unique over quantized vertex
+    keys — the analogue of the reference's weld_vertices option.
+    """
+
+    def __init__(self, voxel_size_m: float,
+                 params: Optional[MeshIntegratorParams] = None):
+        self.voxel_size_m = voxel_size_m
+        self.params = params or MeshIntegratorParams()
+        self.blocks: Dict[Tuple[int, int, int], MeshBlock] = {}
+
+    def update_block(self, block_index: Tuple[int, int, int],
+                     verts: np.ndarray, colors: np.ndarray) -> None:
+        """Replace one block's mesh from compacted triangle soup.
+
+        verts/colors: f32[T, 3, 3] (triangles x 3 vertices x xyz/rgb).
+        """
+        key = tuple(int(v) for v in block_index)
+        if verts.size == 0:
+            self.blocks.pop(key, None)
+            return
+        flat_v = verts.reshape(-1, 3)
+        flat_c = colors.reshape(-1, 3)
+        if self.params.weld_vertices:
+            # Quantize to 1/1024 voxel for exact dedup of shared edge verts.
+            q = np.round(flat_v / self.voxel_size_m * 1024.0).astype(np.int64)
+            _, first, inv = np.unique(q, axis=0, return_index=True,
+                                      return_inverse=True)
+            vertices = flat_v[first]
+            cols = flat_c[first]
+            tris = inv.reshape(-1, 3).astype(np.int32)
+        else:
+            vertices = flat_v
+            cols = flat_c
+            tris = np.arange(flat_v.shape[0], dtype=np.int32).reshape(-1, 3)
+        self.blocks[key] = MeshBlock(
+            vertices=vertices.astype(np.float32),
+            colors=np.clip(cols, 0, 255).astype(np.uint8),
+            triangles=tris)
+
+    def remove_blocks(self, block_indices) -> None:
+        for bi in block_indices:
+            self.blocks.pop(tuple(int(v) for v in bi), None)
+
+    def as_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenate all blocks -> (vertices, colors, triangles)."""
+        if not self.blocks:
+            return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8),
+                    np.zeros((0, 3), np.int32))
+        vs, cs, ts = [], [], []
+        offset = 0
+        for mb in self.blocks.values():
+            vs.append(mb.vertices)
+            cs.append(mb.colors)
+            ts.append(mb.triangles + offset)
+            offset += mb.vertices.shape[0]
+        return np.concatenate(vs), np.concatenate(cs), np.concatenate(ts)
+
+
+def mesh_dirty_blocks(mesh_layer: MeshLayer, pool, table, dirty_slots: np.ndarray,
+                      *, color_channel: str = "color_rgb",
+                      chunk: int = 256) -> None:
+    """Run marching cubes over `dirty_slots` and update the mesh layer.
+
+    Processes in fixed-size chunks to bound device memory; compacts each
+    chunk on the host.
+    """
+    if dirty_slots.size == 0:
+        return
+    tsdf_grid = pool.voxel_grid_view("tsdf_distance")
+    weight_grid = pool.voxel_grid_view("tsdf_weight")
+    if color_channel in pool.channels:
+        color_grid = pool.voxel_grid_view(color_channel)
+    else:
+        color_grid = jnp.zeros(tsdf_grid.shape + (3,), jnp.float32)
+
+    for start in range(0, dirty_slots.size, chunk):
+        sl = dirty_slots[start:start + chunk]
+        n_pad = max(64, 1 << int(np.ceil(np.log2(max(sl.size, 1)))))
+        sl_pad = np.zeros((n_pad,), np.int32)
+        sl_pad[:sl.size] = sl
+        nb = table.neighbors[sl_pad]
+        bidx = table.block_indices[sl_pad]
+        verts, colors, valid = marching_cubes_blocks(
+            tsdf_grid, weight_grid, color_grid,
+            jnp.asarray(nb), jnp.asarray(bidx),
+            voxel_size_m=mesh_layer.voxel_size_m,
+            min_weight=float(mesh_layer.params.min_weight))
+        verts = np.asarray(verts)
+        colors = np.asarray(colors)
+        valid = np.asarray(valid)
+        for i in range(sl.size):
+            m = valid[i].reshape(-1)
+            v = verts[i].reshape(-1, 3, 3)[m]
+            c = colors[i].reshape(-1, 3, 3)[m]
+            mesh_layer.update_block(tuple(bidx[i]), v, c)
