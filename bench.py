@@ -2,9 +2,14 @@
 
 Mirrors the reference's headline benchmark (BASELINE.md: per-frame GPU
 component times during dataset replay at 0.05 m voxels; RTX 3090 reference:
-TSDF 0.5 ms + ESDF 0.8 ms => ~769 fps equivalent). Here: replay a synthetic
-Replica-like room sequence (VGA depth) through the full pipeline on the TPU
-and report frames/s for TSDF-integrate + ESDF-update, steady state.
+TSDF 0.5 ms + ESDF 0.8 ms => ~769 fps equivalent). Replays a synthetic
+Replica-like room sequence (VGA depth) through the fully device-resident
+pipeline (DeviceMapper: on-device block allocation, zero host round trips)
+and reports frames/s for TSDF-integrate + ESDF-update, steady state.
+
+Timing methodology: dispatch N frames asynchronously, block_until_ready at
+the end, divide — measuring true device throughput the way the reference's
+CUDA event timers measure kernel time (not host call overhead).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...extras}
@@ -21,7 +26,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
-    from isaac_ros_nvblox_tpu.mapper.mapper import Mapper
+    from isaac_ros_nvblox_tpu.core.world_grid import WorldGridConfig
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
     from isaac_ros_nvblox_tpu.models.camera import Camera
     from isaac_ros_nvblox_tpu.models.scene import (default_test_scene,
                                                    orbit_pose, render_depth)
@@ -30,10 +36,11 @@ def main():
                     width=640, height=480)
     scene = default_test_scene()
     voxel_size = 0.05
-    n_frames = 40
-    warmup = 8
+    n_frames = 24
+    warmup = 4
+    timed = n_frames - warmup
 
-    # Pre-render the trajectory (not part of the timed pipeline).
+    # Pre-render the trajectory on device (not part of the timed pipeline).
     frames = []
     for k in range(n_frames):
         T = jnp.asarray(orbit_pose(2 * np.pi * k / n_frames))
@@ -41,35 +48,58 @@ def main():
         depth.block_until_ready()
         frames.append((depth, T))
 
-    mapper = Mapper(voxel_size_m=voxel_size, capacity=32768,
-                    enable_color=False, enable_esdf=True)
+    mapper = DeviceMapper(
+        voxel_size_m=voxel_size,
+        world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
+                              origin_block=(-32, -32, -8)),
+        enable_color=False, enable_esdf=True,
+        max_blocks_per_frame=4096)
 
     # Warmup: populate the map + trigger all compilations.
     for depth, T in frames[:warmup]:
         mapper.integrate_depth(depth, T, camera)
-    mapper.update_esdf()
+    mapper.refresh_count()
+    mapper.update_esdf(refresh_count=False)
+    for r in mapper.update_mesh_device():
+        jax.block_until_ready(r[0])
+    jax.block_until_ready(mapper.channels["esdf_sq_dist"])
+    mapper.refresh_count()  # lock in the bucket size for the timed region
 
-    # Steady state timing.
-    tsdf_ms = []
-    esdf_ms = []
+    # --- TSDF integrate: async dispatch, one sync at the end. ---
+    t0 = time.perf_counter()
     for depth, T in frames[warmup:]:
-        t0 = time.perf_counter()
         mapper.integrate_depth(depth, T, camera)
-        jax.block_until_ready(mapper.pool["tsdf_distance"])
-        t1 = time.perf_counter()
-        mapper.update_esdf()
-        jax.block_until_ready(mapper.pool["esdf_sq_dist"])
-        t2 = time.perf_counter()
-        tsdf_ms.append((t1 - t0) * 1e3)
-        esdf_ms.append((t2 - t1) * 1e3)
+    jax.block_until_ready(mapper.channels["tsdf_distance"])
+    tsdf_ms = (time.perf_counter() - t0) * 1e3 / timed
 
-    t_mesh0 = time.perf_counter()
-    n_meshed = mapper.update_mesh(update_full_layer=True)
-    mesh_ms = (time.perf_counter() - t_mesh0) * 1e3
+    # --- ESDF update: fixed-sweep device loop. ---
+    n_esdf = 8
+    t0 = time.perf_counter()
+    for _ in range(n_esdf):
+        mapper.update_esdf(refresh_count=False)
+    jax.block_until_ready(mapper.channels["esdf_sq_dist"])
+    esdf_ms = (time.perf_counter() - t0) * 1e3 / n_esdf
 
-    tsdf_mean = float(np.mean(tsdf_ms))
-    esdf_mean = float(np.mean(esdf_ms))
-    fps = 1000.0 / (tsdf_mean + esdf_mean)
+    # --- Mesh (incremental): device marching cubes over dirty blocks,
+    # measured per frame like the reference's mesh component time. ---
+    mapper.update_mesh_dirty_device()  # clear backlog + compile
+    n_mesh = 8
+    t0 = time.perf_counter()
+    for depth, T in frames[warmup:warmup + n_mesh]:
+        mapper.integrate_depth(depth, T, camera)
+        verts, _, _, _ = mapper.update_mesh_dirty_device()
+    jax.block_until_ready(verts)
+    t_int_mesh = (time.perf_counter() - t0) * 1e3 / n_mesh
+    mesh_ms = max(t_int_mesh - tsdf_ms, 0.0)
+
+    # --- Mesh (full map), for reference. ---
+    t0 = time.perf_counter()
+    for r in mapper.update_mesh_device():
+        last = r[0]
+    jax.block_until_ready(last)
+    mesh_full_ms = (time.perf_counter() - t0) * 1e3
+
+    fps = 1000.0 / (tsdf_ms + esdf_ms)
 
     # Reference (BASELINE.md, Replica @ RTX 3090): TSDF 0.5 ms + ESDF 0.8 ms.
     baseline_fps = 1000.0 / (0.5 + 0.8)
@@ -78,11 +108,11 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 4),
-        "tsdf_ms": round(tsdf_mean, 3),
-        "esdf_ms": round(esdf_mean, 3),
-        "mesh_ms_full_layer": round(mesh_ms, 2),
-        "meshed_blocks": n_meshed,
-        "allocated_blocks": mapper.table.num_allocated,
+        "tsdf_ms": round(tsdf_ms, 3),
+        "esdf_ms": round(esdf_ms, 3),
+        "mesh_ms": round(mesh_ms, 2),
+        "mesh_ms_full_layer": round(mesh_full_ms, 2),
+        "allocated_blocks": mapper.block_count(),
         "device": str(jax.devices()[0]),
     }))
 

@@ -1,0 +1,333 @@
+"""DeviceMapper: the zero-host-round-trip mapping hot path.
+
+Round-1's `Mapper` allocates blocks through a host-side dict, costing a
+device->host->device round trip per frame. DeviceMapper keeps the entire
+tick on device using the WorldGrid allocator (core/world_grid.py):
+
+    integrate_depth:  touched-grid -> allocate -> view-batch -> fused TSDF
+                      update, all jitted, zero syncs (pure async dispatch)
+    update_esdf:      site init + fixed-count relaxation sweeps with
+                      device-computed neighbor tables, zero syncs (or
+                      adaptive with one scalar sync per sweep)
+    update_mesh:      device marching cubes into fixed-capacity buffers;
+                      host compaction only when exporting/publishing
+
+The only regular host reads are tiny scalars (allocation count, at a low
+rate, to pick power-of-two batch buckets) — everything else stays in HBM.
+This is the speed-of-light architecture the benchmark exercises.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isaac_ros_nvblox_tpu.core import world_grid as wg
+from isaac_ros_nvblox_tpu.core.types import VOXELS_PER_BLOCK, VOXELS_PER_SIDE
+from isaac_ros_nvblox_tpu.mapper.params import MapperParams
+from isaac_ros_nvblox_tpu.models.camera import Camera
+from isaac_ros_nvblox_tpu.ops import esdf as esdf_ops
+from isaac_ros_nvblox_tpu.ops import view as view_ops
+from isaac_ros_nvblox_tpu.ops.color import integrate_color as color_kernel
+from isaac_ros_nvblox_tpu.ops.mesh import (MeshLayer, marching_cubes_blocks)
+from isaac_ros_nvblox_tpu.ops.tsdf import integrate_tsdf
+
+B = VOXELS_PER_SIDE
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    """Batch bucket size: powers of two up to 2048, then 1024-steps.
+
+    Fine granularity above 2048 keeps padding waste <= ~12% on large maps
+    while still bounding the number of compiled shapes (cap/1024 variants)."""
+    if n <= 2048:
+        b = minimum
+        while b < n:
+            b *= 2
+        return b
+    return ((n + 1023) // 1024) * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("inner_iters", "max_sq_dist_vox",
+                                             "n_outer"),
+                   donate_argnums=(0, 1))
+def _esdf_fixed_sweeps(site_coord, sq_dist, neighbor_slots, slots,
+                       block_indices, *, n_outer: int, inner_iters: int,
+                       max_sq_dist_vox: float):
+    """n_outer relaxation sweeps with no convergence syncs (fori_loop)."""
+    def body(_, carry):
+        site, sq = carry
+        site, sq, _ = esdf_ops.esdf_sweep_pass(
+            site, sq, neighbor_slots, slots, block_indices,
+            inner_iters=inner_iters, max_sq_dist_vox=max_sq_dist_vox)
+        return site, sq
+
+    return jax.lax.fori_loop(0, n_outer, body, (site_coord, sq_dist))
+
+
+@functools.partial(jax.jit, static_argnames=("max_blocks",))
+def _compact_dirty(state, dirty, *, max_blocks: int):
+    """Dirty slots (plus their -1-side neighbors) as a static-size batch."""
+    cap = dirty.shape[0]
+    # Expand dirtiness to -1-side neighbors via the slot grid: a block is
+    # mesh-dirty if any of its {0,+1}^3 neighbors is dirty.
+    dims = jnp.asarray(state.slot_grid.shape, jnp.int32)
+    dirty_grid = jnp.zeros(state.slot_grid.shape, jnp.bool_)
+    cells = state.block_index_of_slot - state.origin_block
+    cells = jnp.clip(cells, 0, dims - 1)
+    dirty_grid = dirty_grid.at[cells[:, 0], cells[:, 1], cells[:, 2]].max(
+        dirty & (jnp.arange(cap) < state.alloc_count))
+    expanded = dirty_grid
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                if (dx, dy, dz) == (0, 0, 0):
+                    continue
+                shifted = jnp.roll(dirty_grid, shift=(-dx, -dy, -dz),
+                                   axis=(0, 1, 2))
+                expanded = expanded | shifted
+    slot_dirty = expanded[cells[:, 0], cells[:, 1], cells[:, 2]] \
+        & (jnp.arange(cap) < state.alloc_count)
+    (idx,) = jnp.nonzero(slot_dirty, size=max_blocks, fill_value=cap - 1)
+    n = jnp.sum(slot_dirty.astype(jnp.int32))
+    lane = jnp.arange(max_blocks) < n
+    slots = jnp.where(lane, idx, cap)
+    bidx = jnp.where(lane[:, None], state.block_index_of_slot[idx], 0)
+    return slots, bidx
+
+
+class DeviceMapper:
+    def __init__(self, voxel_size_m: float,
+                 params: Optional[MapperParams] = None,
+                 world: Optional[wg.WorldGridConfig] = None,
+                 enable_color: bool = True,
+                 enable_esdf: bool = True,
+                 max_blocks_per_frame: int = 4096,
+                 name: str = "device_mapper"):
+        self.name = name
+        self.voxel_size_m = float(voxel_size_m)
+        self.params = params or MapperParams()
+        self.world_config = world or wg.WorldGridConfig()
+        self.state = wg.create_world_grid(self.world_config)
+        self.max_blocks_per_frame = max_blocks_per_frame
+        cap = self.world_config.capacity
+
+        self.channels: Dict[str, jnp.ndarray] = {
+            "tsdf_distance": jnp.zeros((cap, VOXELS_PER_BLOCK), jnp.float32),
+            "tsdf_weight": jnp.zeros((cap, VOXELS_PER_BLOCK), jnp.float32),
+        }
+        if enable_color:
+            self.channels["color_rgb"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK, 3), jnp.float32)
+            self.channels["color_weight"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.float32)
+        if enable_esdf:
+            self.channels["esdf_site"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK, 3), jnp.float32)
+            self.channels["esdf_sq_dist"] = jnp.full(
+                (cap, VOXELS_PER_BLOCK), float(esdf_ops.INF_SQ), jnp.float32)
+            self.channels["esdf_is_inside"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.bool_)
+            self.channels["esdf_observed"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.bool_)
+        self.dirty = jnp.zeros((cap,), jnp.bool_)
+
+        self.mesh_layer = MeshLayer(self.voxel_size_m, self.params.mesh)
+        # Host-side cached allocation count (refreshed at esdf/mesh rate).
+        self._count_cache = 0
+        self.last_depth_T_L_C = None
+        self.last_depth_camera: Optional[Camera] = None
+
+    # ---------------------------------------------------------------- sizes
+    @property
+    def capacity(self) -> int:
+        return self.world_config.capacity
+
+    def refresh_count(self) -> int:
+        """One scalar device->host sync; refreshes the cached block count."""
+        self._count_cache = int(self.state.alloc_count)
+        return self._count_cache
+
+    # ------------------------------------------------------------ integrate
+    def integrate_depth(self, depth, T_L_C, camera: Camera) -> None:
+        """Fuse one depth frame. Pure async dispatch — no host syncs."""
+        p = self.params.projective
+        depth = jnp.asarray(depth, jnp.float32)
+        T_L_C = jnp.asarray(T_L_C, jnp.float32)
+        grid, origin = view_ops.touched_block_grid(
+            depth, T_L_C, camera=camera, voxel_size_m=self.voxel_size_m,
+            max_distance_m=p.max_integration_distance_m,
+            truncation_m=p.truncation_m(self.voxel_size_m),
+            subsample=int(self.params.view.raycast_subsampling_factor))
+        self.state = wg.allocate_from_mask(self.state, grid, origin)
+        slots, bidx, _ = wg.view_batch(
+            self.state, grid, origin, max_blocks=self.max_blocks_per_frame)
+        d, w = integrate_tsdf(
+            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+            slots, bidx, depth, T_L_C, camera=camera,
+            voxel_size_m=self.voxel_size_m, params=p)
+        self.channels["tsdf_distance"] = d
+        self.channels["tsdf_weight"] = w
+        self.dirty = self.dirty.at[slots].set(True, mode="drop")
+        self.last_depth_T_L_C = T_L_C
+        self.last_depth_camera = camera
+
+    def integrate_color(self, color_image, T_L_C, camera: Camera,
+                        depth=None) -> None:
+        if "color_rgb" not in self.channels:
+            return
+        p = self.params.projective
+        T_L_C = jnp.asarray(T_L_C, jnp.float32)
+        color_image = jnp.asarray(color_image)
+        if depth is None:
+            depth = jnp.zeros((1, 1), jnp.float32)
+        else:
+            depth = jnp.asarray(depth, jnp.float32)
+        # Batch = blocks in the color view (no allocation): raycast a
+        # max-distance pseudo-depth to cover the whole frustum.
+        grid, origin = view_ops.touched_block_grid(
+            jnp.full((camera.height, camera.width),
+                     p.max_integration_distance_m, jnp.float32),
+            T_L_C, camera=camera, voxel_size_m=self.voxel_size_m,
+            max_distance_m=p.max_integration_distance_m,
+            truncation_m=p.truncation_m(self.voxel_size_m),
+            subsample=int(self.params.view.raycast_subsampling_factor))
+        slots, bidx, _ = wg.view_batch(
+            self.state, grid, origin, max_blocks=self.max_blocks_per_frame)
+        c, cw = color_kernel(
+            self.channels["color_rgb"], self.channels["color_weight"],
+            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+            slots, bidx, color_image, depth, T_L_C, camera=camera,
+            voxel_size_m=self.voxel_size_m, params=p)
+        self.channels["color_rgb"] = c
+        self.channels["color_weight"] = cw
+        self.dirty = self.dirty.at[slots].set(True, mode="drop")
+
+    # ----------------------------------------------------------------- esdf
+    def update_esdf(self, n_outer: Optional[int] = None,
+                    refresh_count: bool = True,
+                    use_pallas: Optional[bool] = None) -> None:
+        """ESDF update with a fixed sweep count (no convergence syncs).
+
+        n_outer defaults to ceil(max_esdf_distance / block_size) + 1 — the
+        worst-case propagation depth in blocks. On TPU the relaxation runs
+        in the Pallas VMEM kernel (ops/esdf_pallas.py); elsewhere the XLA
+        sweep is used.
+        """
+        if "esdf_site" not in self.channels:
+            return
+        ep = self.params.esdf
+        is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+            voxel_size_m=jnp.float32(self.voxel_size_m),
+            max_site_distance_vox=float(ep.max_site_distance_vox),
+            min_weight=float(ep.min_weight))
+        self.channels["esdf_is_inside"] = is_inside
+        self.channels["esdf_observed"] = observed
+
+        if refresh_count:
+            self.refresh_count()
+        bucket = _bucket(max(self._count_cache, 1))
+        bucket = min(bucket, self.capacity)
+        slots, bidx, _ = wg.allocated_batch(self.state, max_blocks=bucket)
+        nbrs = wg.neighbor_slots_of(self.state, bidx)
+
+        if n_outer is None:
+            bs = self.voxel_size_m * B
+            n_outer = int(np.ceil(ep.max_esdf_distance_m / bs)) + 1
+        max_sq = (ep.max_esdf_distance_m / self.voxel_size_m) ** 2
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            site, sq = esdf_ops.run_esdf_sweeps_pallas(
+                self.channels["esdf_site"], is_site, nbrs, slots, bidx,
+                self.state.block_index_of_slot,
+                n_outer=int(n_outer), inner_iters=B, max_sq=float(max_sq),
+                interpret=jax.default_backend() != "tpu")
+        else:
+            site, sq = esdf_ops.init_esdf_from_sites(
+                self.channels["esdf_site"], self.channels["esdf_sq_dist"],
+                is_site, self.state.block_index_of_slot)
+            site, sq = _esdf_fixed_sweeps(
+                site, sq, nbrs, slots, bidx, n_outer=int(n_outer),
+                inner_iters=B, max_sq_dist_vox=float(max_sq))
+        self.channels["esdf_site"] = site
+        self.channels["esdf_sq_dist"] = sq
+
+    # ----------------------------------------------------------------- mesh
+    def _mesh_chunk(self, slots, bidx):
+        """Device marching cubes for one block chunk (fixed chunk size)."""
+        cap = self.capacity
+        nbrs = wg.neighbor_slots_of(self.state, bidx)
+        tsdf_grid = self.channels["tsdf_distance"].reshape(cap, B, B, B)
+        weight_grid = self.channels["tsdf_weight"].reshape(cap, B, B, B)
+        if "color_rgb" in self.channels:
+            color_grid = self.channels["color_rgb"].reshape(cap, B, B, B, 3)
+        else:
+            color_grid = jnp.zeros((cap, B, B, B, 3), jnp.float32)
+        verts, colors, valid = marching_cubes_blocks(
+            tsdf_grid, weight_grid, color_grid, nbrs, bidx,
+            voxel_size_m=self.voxel_size_m,
+            min_weight=float(self.params.mesh.min_weight))
+        in_range = slots < cap
+        return verts, colors, valid & in_range[:, None, None]
+
+    def update_mesh_dirty_device(self, max_blocks: int = 2048):
+        """Incremental device marching cubes over dirty blocks only.
+
+        This is the per-frame meshing path (reference parity: incremental
+        updateColorMesh over updated blocks). Dirty compaction happens on
+        device (`nonzero(size=...)`); returns (verts, colors, valid, bidx)
+        device arrays and clears the dirty flags. A block whose -1-side
+        neighbor was touched is included (the MC halo reads +1 voxels).
+        """
+        slots, bidx = _compact_dirty(self.state, self.dirty,
+                                     max_blocks=max_blocks)
+        verts, colors, valid = self._mesh_chunk(slots, bidx)
+        self.dirty = jnp.zeros_like(self.dirty)
+        return verts, colors, valid, bidx
+
+    def update_mesh_device(self, chunk: int = 2048):
+        """Run marching cubes over all allocated blocks on device.
+
+        Returns the list of (verts, colors, valid, bidx) chunk results as
+        device arrays (for timing / downstream device use). No host
+        compaction — see export_mesh.
+        """
+        count = self._count_cache or self.refresh_count()
+        results = []
+        for start in range(0, max(count, 1), chunk):
+            n = min(chunk, self.capacity)
+            slots, bidx, _ = wg.allocated_batch_range(
+                self.state, start=start, max_blocks=n)
+            verts, colors, valid = self._mesh_chunk(slots, bidx)
+            results.append((verts, colors, valid, bidx))
+        self.dirty = self.dirty.at[:].set(False)
+        return results
+
+    def export_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full-map mesh to host (cold path): returns (verts, colors, tris)."""
+        self.refresh_count()
+        for verts, colors, valid, bidx in self.update_mesh_device():
+            verts = np.asarray(verts)
+            colors = np.asarray(colors)
+            valid = np.asarray(valid)
+            bidx_np = np.asarray(bidx)
+            for i in range(bidx_np.shape[0]):
+                m = valid[i].reshape(-1)
+                if not m.any():
+                    continue
+                v = verts[i].reshape(-1, 3, 3)[m]
+                c = colors[i].reshape(-1, 3, 3)[m]
+                self.mesh_layer.update_block(tuple(bidx_np[i]), v, c)
+        return self.mesh_layer.as_arrays()
+
+    # ---------------------------------------------------------------- debug
+    def block_count(self) -> int:
+        return self.refresh_count()

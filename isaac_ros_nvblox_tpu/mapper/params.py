@@ -143,7 +143,9 @@ def apply_overlay(params: Any, overlay: Mapping[str, Any]) -> Any:
             log.warning("Unknown parameter %r (on %s); ignored",
                         key, type(params).__name__)
             continue
-        current = getattr(params, head)
+        # Merge successive overlays touching the same subtree (dotted and
+        # nested forms may both address one field).
+        current = updates.get(head, getattr(params, head))
         if rest:
             updates[head] = apply_overlay(current, {rest: value})
         elif dataclasses.is_dataclass(current) and isinstance(value, Mapping):

@@ -174,6 +174,59 @@ def esdf_sweep_pass(site_coord, sq_dist, neighbor_slots, slots,
     return site_coord, sq_dist, changed
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_outer", "inner_iters", "max_sq",
+                                    "interpret"),
+                   donate_argnums=(0,))
+def run_esdf_sweeps_pallas(site_pool, is_site, neighbor_slots, slots,
+                           block_indices, block_indices_all, *,
+                           n_outer: int, inner_iters: int, max_sq: float,
+                           interpret: bool = False):
+    """Fixed-count ESDF sweeps using the Pallas VMEM relaxation kernel.
+
+    site_pool: f32[cap, 512, 3] (donated). Initialization happens inside:
+    site voxels get their own coords, others the SENTINEL (so no separate
+    validity/INF channel is needed). Returns (site_pool, sq_dist) with
+    sq_dist = ||voxel - site||^2 (INF_SQ where unresolved).
+    """
+    from isaac_ros_nvblox_tpu.ops.esdf_pallas import (SENTINEL,
+                                                      relax_blocks_pallas)
+    from isaac_ros_nvblox_tpu.ops.halo import gather_halo
+
+    cap = site_pool.shape[0]
+    offs = _local_offsets_f32()  # [512, 3]
+    own = (block_indices_all.astype(jnp.float32)[:, None, :] * B + offs[None])
+    site_pool = jnp.where(is_site[..., None], own, SENTINEL)
+
+    N = slots.shape[0]
+    origins = (block_indices.astype(jnp.float32) * B)
+
+    def outer(_, site_pool):
+        grid = site_pool.reshape(cap, B, B, B, 3)
+        pad = gather_halo(grid, neighbor_slots, lo=1, hi=1, fill=SENTINEL)
+        flat = pad.reshape(N, 1000, 3)
+        flat = jnp.pad(flat, ((0, 0), (0, 24), (0, 0)),
+                       constant_values=SENTINEL)  # lane-pad 1000 -> 1024
+        sx, sy, sz = flat[..., 0], flat[..., 1], flat[..., 2]
+        sx, sy, sz = relax_blocks_pallas(
+            origins, sx, sy, sz, inner_iters=inner_iters, max_sq=max_sq,
+            interpret=interpret)
+        new_pad = jnp.stack([sx, sy, sz], axis=-1)[:, :1000] \
+            .reshape(N, 10, 10, 10, 3)
+        interior = new_pad[:, 1:-1, 1:-1, 1:-1].reshape(N, B ** 3, 3)
+        return site_pool.at[slots].set(interior, mode="drop")
+
+    site_pool = jax.lax.fori_loop(0, n_outer, outer, site_pool)
+
+    own_all = own
+    diff = own_all - site_pool
+    sq = jnp.sum(diff * diff, axis=-1)
+    sq = jnp.where(jnp.any(site_pool >= SENTINEL * 0.5, axis=-1), INF_SQ,
+                   jnp.minimum(sq, INF_SQ))
+    sq = jnp.where(is_site, 0.0, sq)
+    return site_pool, sq
+
+
 def update_esdf(pool, table, *, voxel_size_m: float,
                 params: EsdfIntegratorParams,
                 sites_from: str = "tsdf",

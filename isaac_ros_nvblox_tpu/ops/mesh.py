@@ -159,24 +159,17 @@ class MeshLayer:
         if verts.size == 0:
             self.blocks.pop(key, None)
             return
-        flat_v = verts.reshape(-1, 3)
-        flat_c = colors.reshape(-1, 3)
         if self.params.weld_vertices:
-            # Quantize to 1/1024 voxel for exact dedup of shared edge verts.
-            q = np.round(flat_v / self.voxel_size_m * 1024.0).astype(np.int64)
-            _, first, inv = np.unique(q, axis=0, return_index=True,
-                                      return_inverse=True)
-            vertices = flat_v[first]
-            cols = flat_c[first]
-            tris = inv.reshape(-1, 3).astype(np.int32)
+            # Weld at 1/1024-voxel quantization (native C++ when available).
+            from isaac_ros_nvblox_tpu.native import weld_mesh
+            vertices, cols, tris = weld_mesh(
+                verts, colors, quantum=self.voxel_size_m / 1024.0)
         else:
-            vertices = flat_v
-            cols = flat_c
-            tris = np.arange(flat_v.shape[0], dtype=np.int32).reshape(-1, 3)
-        self.blocks[key] = MeshBlock(
-            vertices=vertices.astype(np.float32),
-            colors=np.clip(cols, 0, 255).astype(np.uint8),
-            triangles=tris)
+            vertices = verts.reshape(-1, 3).astype(np.float32)
+            cols = np.clip(colors.reshape(-1, 3), 0, 255).astype(np.uint8)
+            tris = np.arange(vertices.shape[0], dtype=np.int32).reshape(-1, 3)
+        self.blocks[key] = MeshBlock(vertices=vertices, colors=cols,
+                                     triangles=tris)
 
     def remove_blocks(self, block_indices) -> None:
         for bi in block_indices:

@@ -5,12 +5,13 @@ GPU and inserts touched block indices into the hash set
 (SURVEY.md §2.1 "ViewCalculator"; params `raycast_subsampling_factor`,
 `workspace_bounds_*` at nvblox_ros/src/lib/mapper_initialization.cpp:186-196).
 
-TPU-native design: instead of building a hash set, rays scatter "touched"
-marks into a **dense boolean occupancy grid** over the view's bounding box
-(statically shaped from `max_integration_distance`), entirely on device; the
-host then reads the ~tens-of-KB bitmap and turns set bits into block indices
-to allocate. This keeps the hot loop dense/vectorized and the only
-host<->device traffic a small bitmap.
+TPU-native design: instead of building a hash set, the touch criterion is
+evaluated **densely per cell of a boolean grid** over the view's bounding
+box (statically shaped from `max_integration_distance`): project each block
+center, compare against a max-depth pyramid of the frame — reduce_windows
+and gathers only, zero scatters (TPU scatters serialize). The device
+allocator (core/world_grid.py) consumes the grid directly; the legacy host
+path reads the ~50 KB bitmap instead.
 """
 
 from __future__ import annotations
@@ -54,16 +55,27 @@ def _grid_radius_blocks(max_distance_m: float, voxel_size_m: float) -> int:
                      "truncation_m"))
 def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
                        max_distance_m: float, truncation_m: float,
-                       subsample: int):
-    """Mark blocks touched by the depth frame's rays.
+                       subsample: int = 1):
+    """Mark blocks touched by the depth frame — dense, scatter-free.
 
     Returns (grid bool[G,G,G], origin_block i32[3]) where grid[i,j,k] marks
-    block `origin_block + (i,j,k)`. Rays step at half a block size from the
-    camera origin to `min(depth + truncation, max_distance)`; invalid-depth
-    pixels raycast to max distance only if depth == 0 is treated as no
-    return (skipped — matches projective integrator behavior of ignoring
-    invalid returns on the allocation path).
+    block `origin_block + (i,j,k)`.
+
+    TPU-native formulation: instead of raycasting pixels and scattering
+    marks (the reference's GPU approach — hundreds of thousands of
+    serializing scatter updates on TPU), evaluate the touch criterion
+    **densely per grid cell**: a block is touched iff its center projects
+    into the (footprint-inflated) image and its depth is in front of the
+    maximum valid measured depth over the block's pixel footprint, plus the
+    truncation band. The footprint max comes from a max-pool depth pyramid,
+    so the whole thing is reduce_windows + one gather per pyramid level —
+    zero scatters. Produces a slightly conservative superset of the raycast
+    marking, which only affects allocation (harmless).
+
+    `subsample` is accepted for API parity with the raycast version but
+    unused (the dense test needs no subsampling).
     """
+    del subsample  # unused in the dense formulation
     bs = block_size_m(voxel_size_m)
     R = _grid_radius_blocks(max_distance_m, voxel_size_m)
     G = 2 * R + 1
@@ -71,29 +83,66 @@ def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
     cam_origin = T_L_C[:3, 3]
     origin_block = jnp.floor(cam_origin / bs).astype(jnp.int32) - R
 
-    dirs = camera.ray_directions()[::subsample, ::subsample]  # [h, w, 3]
-    d = depth[::subsample, ::subsample]  # [h, w]
-    valid = (d > 0.0) & jnp.isfinite(d)
-    # z-depth -> ray length: dir_z = cos(angle); length = depth / dir_z.
-    ray_len = jnp.where(valid, d, 0.0) / jnp.maximum(dirs[..., 2], 1e-6)
-    ray_len = jnp.minimum(ray_len + truncation_m, max_distance_m)
+    # Max-valid-depth pyramid (invalid pixels carry 0 and never raise max).
+    d_valid = jnp.where(jnp.isfinite(depth) & (depth > 0.0), depth, 0.0)
+    n_levels = 7
+    pyramid = [d_valid]
+    for _ in range(n_levels - 1):
+        prev = pyramid[-1]
+        pyramid.append(jax.lax.reduce_window(
+            prev, -jnp.inf, jax.lax.max, (2, 2), (2, 2), "SAME"))
 
-    dirs_L = Transform.rotate(T_L_C, dirs.reshape(-1, 3))  # [P, 3]
-    ray_len = ray_len.reshape(-1)
-    valid = valid.reshape(-1)
+    # Dense cell centers in the layer frame -> camera frame.
+    ii = jax.lax.broadcasted_iota(jnp.float32, (G, G, G), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (G, G, G), 1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (G, G, G), 2)
+    centers = (jnp.stack([ii, jj, kk], -1)
+               + origin_block.astype(jnp.float32) + 0.5) * bs
+    p_C = Transform.apply(Transform.inverse(T_L_C), centers.reshape(-1, 3))
+    z = p_C[:, 2]
+    eps = 1e-6
+    u = camera.fx * p_C[:, 0] / jnp.where(z > eps, z, 1.0) + camera.cx
+    v = camera.fy * p_C[:, 1] / jnp.where(z > eps, z, 1.0) + camera.cy
 
-    step = bs * 0.5
-    n_steps = int(np.ceil(max_distance_m / step)) + 1
-    ts = jnp.arange(n_steps, dtype=jnp.float32) * step  # [S]
-    ts_clamped = jnp.minimum(ts[None, :], ray_len[:, None])  # [P, S]
-    pts = cam_origin[None, None, :] + dirs_L[:, None, :] * ts_clamped[..., None]
-    cell = jnp.floor(pts / bs).astype(jnp.int32) - origin_block  # [P, S, 3]
-    cell = jnp.clip(cell, 0, G - 1)
+    # Pixel footprint of a block at this depth; inflate the in-view check so
+    # blocks partially inside the frustum are kept (inflation by the block's
+    # projected *half diagonal* — anything farther out cannot intersect).
+    f_max = max(camera.fx, camera.fy)
+    footprint = f_max * bs / jnp.maximum(z, eps)
+    half_diag = footprint * float(np.sqrt(3.0) / 2.0) * 0.5
+    in_view = ((z > eps)
+               & (u >= -half_diag) & (u <= camera.width - 1.0 + half_diag)
+               & (v >= -half_diag) & (v <= camera.height - 1.0 + half_diag))
 
-    grid = jnp.zeros((G, G, G), jnp.bool_)
-    marks = jnp.broadcast_to(valid[:, None], cell.shape[:2])
-    grid = grid.at[cell[..., 0], cell[..., 1], cell[..., 2]].max(marks)
-    return grid, origin_block
+    # Gather the footprint's max depth from the pyramid. Level chosen so the
+    # sampled 2x2 window spans roughly the footprint (window = 2*2^level):
+    # conservative at silhouettes without marking deep occluded regions.
+    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(footprint, 1.0))) - 1,
+                     0, n_levels - 1).astype(jnp.int32)
+    maxd = jnp.zeros_like(z)
+    for lvl in range(n_levels):
+        img = pyramid[lvl]
+        H_l, W_l = img.shape
+        # Footprint may straddle pyramid cells: max over the 2x2 around it.
+        u0 = jnp.clip((u / (2 ** lvl)).astype(jnp.int32) - 1, 0, W_l - 1)
+        v0 = jnp.clip((v / (2 ** lvl)).astype(jnp.int32) - 1, 0, H_l - 1)
+        u1 = jnp.minimum(u0 + 1, W_l - 1)
+        v1 = jnp.minimum(v0 + 1, H_l - 1)
+        m = jnp.maximum(jnp.maximum(img[v0, u0], img[v0, u1]),
+                        jnp.maximum(img[v1, u0], img[v1, u1]))
+        maxd = jnp.where(level == lvl, m, maxd)
+
+    # Touched: in the (inflated) frustum, in front of the measured surface
+    # plus truncation (with a half-block-diagonal safety margin), in range.
+    margin = truncation_m + bs * float(np.sqrt(3.0) / 2.0)
+    touched = in_view & (z <= max_distance_m + bs) \
+        & (z <= maxd + margin) & (maxd > 0.0)
+    # Blocks at the camera origin are always touched (rays start there, even
+    # though their centers may sit behind the image plane).
+    near_camera = jnp.linalg.norm(centers.reshape(-1, 3) - cam_origin,
+                                  axis=-1) < 1.5 * bs
+    touched = touched | near_camera
+    return touched.reshape(G, G, G), origin_block
 
 
 def blocks_in_view(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
