@@ -21,6 +21,19 @@ import time
 import numpy as np
 
 
+def _barrier(*arrays):
+    """True completion barrier: reduce to a scalar and fetch it.
+
+    `block_until_ready` is not a reliable completion signal on relayed/
+    tunneled TPU backends; forcing a device->host scalar readback is.
+    """
+    import jax.numpy as jnp
+    total = 0.0
+    for a in arrays:
+        total += float(jnp.sum(a[..., :1].astype(jnp.float32)))
+    return total
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -61,15 +74,15 @@ def main():
     mapper.refresh_count()
     mapper.update_esdf(refresh_count=False)
     for r in mapper.update_mesh_device():
-        jax.block_until_ready(r[0])
-    jax.block_until_ready(mapper.channels["esdf_sq_dist"])
+        pass
+    _barrier(mapper.channels["esdf_sq_dist"], r[0])
     mapper.refresh_count()  # lock in the bucket size for the timed region
 
-    # --- TSDF integrate: async dispatch, one sync at the end. ---
+    # --- TSDF integrate: async dispatch, scalar-fetch barrier at the end. ---
     t0 = time.perf_counter()
     for depth, T in frames[warmup:]:
         mapper.integrate_depth(depth, T, camera)
-    jax.block_until_ready(mapper.channels["tsdf_distance"])
+    _barrier(mapper.channels["tsdf_distance"], mapper.channels["tsdf_weight"])
     tsdf_ms = (time.perf_counter() - t0) * 1e3 / timed
 
     # --- ESDF update: fixed-sweep device loop. ---
@@ -77,7 +90,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_esdf):
         mapper.update_esdf(refresh_count=False)
-    jax.block_until_ready(mapper.channels["esdf_sq_dist"])
+    _barrier(mapper.channels["esdf_sq_dist"])
     esdf_ms = (time.perf_counter() - t0) * 1e3 / n_esdf
 
     # --- Mesh (incremental): device marching cubes over dirty blocks,
@@ -87,8 +100,8 @@ def main():
     t0 = time.perf_counter()
     for depth, T in frames[warmup:warmup + n_mesh]:
         mapper.integrate_depth(depth, T, camera)
-        verts, _, _, _ = mapper.update_mesh_dirty_device()
-    jax.block_until_ready(verts)
+        verts, _, valid, _ = mapper.update_mesh_dirty_device()
+    _barrier(verts)
     t_int_mesh = (time.perf_counter() - t0) * 1e3 / n_mesh
     mesh_ms = max(t_int_mesh - tsdf_ms, 0.0)
 
@@ -96,7 +109,7 @@ def main():
     t0 = time.perf_counter()
     for r in mapper.update_mesh_device():
         last = r[0]
-    jax.block_until_ready(last)
+    _barrier(last)
     mesh_full_ms = (time.perf_counter() - t0) * 1e3
 
     fps = 1000.0 / (tsdf_ms + esdf_ms)

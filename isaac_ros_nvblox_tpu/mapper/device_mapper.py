@@ -70,6 +70,33 @@ def _esdf_fixed_sweeps(site_coord, sq_dist, neighbor_slots, slots,
     return jax.lax.fori_loop(0, n_outer, body, (site_coord, sq_dist))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("camera", "voxel_size_m", "params",
+                                    "max_blocks", "use_pallas"),
+                   donate_argnums=(0, 1, 2, 3))
+def _integrate_frame_fused(state, distance, weight, dirty, depth, T_L_C, *,
+                           camera: Camera, voxel_size_m: float, params,
+                           max_blocks: int, use_pallas: bool = False):
+    """view grid -> allocate -> view batch -> TSDF fuse -> dirty, one program."""
+    grid, origin = view_ops.touched_block_grid(
+        depth, T_L_C, camera=camera, voxel_size_m=voxel_size_m,
+        max_distance_m=params.max_integration_distance_m,
+        truncation_m=params.truncation_m(voxel_size_m), subsample=1)
+    state = wg.allocate_from_mask(state, grid, origin)
+    slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    if use_pallas:
+        from isaac_ros_nvblox_tpu.ops.tsdf_pallas import integrate_tsdf_pallas
+        distance, weight = integrate_tsdf_pallas(
+            distance, weight, slots, bidx, depth, T_L_C, camera=camera,
+            voxel_size_m=voxel_size_m, params=params)
+    else:
+        distance, weight = integrate_tsdf(
+            distance, weight, slots, bidx, depth, T_L_C, camera=camera,
+            voxel_size_m=voxel_size_m, params=params)
+    dirty = dirty.at[slots].set(True, mode="drop")
+    return state, distance, weight, dirty
+
+
 @functools.partial(jax.jit, static_argnames=("max_blocks",))
 def _compact_dirty(state, dirty, *, max_blocks: int):
     """Dirty slots (plus their -1-side neighbors) as a static-size batch."""
@@ -138,6 +165,12 @@ class DeviceMapper:
         self.dirty = jnp.zeros((cap,), jnp.bool_)
 
         self.mesh_layer = MeshLayer(self.voxel_size_m, self.params.mesh)
+        # None = auto (pallas on TPU); tests can force either path.
+        self.use_pallas_integrate = None
+        # Incremental-ESDF cadence: every Nth update is a cold full sweep.
+        self.esdf_full_update_every = 8
+        self.warm_n_outer = 2
+        self._esdf_update_count = 0
         # Host-side cached allocation count (refreshed at esdf/mesh rate).
         self._count_cache = 0
         self.last_depth_T_L_C = None
@@ -155,25 +188,26 @@ class DeviceMapper:
 
     # ------------------------------------------------------------ integrate
     def integrate_depth(self, depth, T_L_C, camera: Camera) -> None:
-        """Fuse one depth frame. Pure async dispatch — no host syncs."""
-        p = self.params.projective
+        """Fuse one depth frame. One fused jit dispatch, no host syncs.
+
+        View-grid test + allocation + view compaction + TSDF fusion + dirty
+        marking all live in a single compiled program: per-dispatch overhead
+        (milliseconds on tunneled devices) is paid once per frame, and XLA
+        fuses the elementwise stages.
+        """
         depth = jnp.asarray(depth, jnp.float32)
         T_L_C = jnp.asarray(T_L_C, jnp.float32)
-        grid, origin = view_ops.touched_block_grid(
-            depth, T_L_C, camera=camera, voxel_size_m=self.voxel_size_m,
-            max_distance_m=p.max_integration_distance_m,
-            truncation_m=p.truncation_m(self.voxel_size_m),
-            subsample=int(self.params.view.raycast_subsampling_factor))
-        self.state = wg.allocate_from_mask(self.state, grid, origin)
-        slots, bidx, _ = wg.view_batch(
-            self.state, grid, origin, max_blocks=self.max_blocks_per_frame)
-        d, w = integrate_tsdf(
-            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
-            slots, bidx, depth, T_L_C, camera=camera,
-            voxel_size_m=self.voxel_size_m, params=p)
+        use_pallas = (jax.default_backend() == "tpu"
+                      if self.use_pallas_integrate is None
+                      else self.use_pallas_integrate)
+        self.state, d, w, self.dirty = _integrate_frame_fused(
+            self.state, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"], self.dirty, depth, T_L_C,
+            camera=camera, voxel_size_m=self.voxel_size_m,
+            params=self.params.projective,
+            max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas)
         self.channels["tsdf_distance"] = d
         self.channels["tsdf_weight"] = w
-        self.dirty = self.dirty.at[slots].set(True, mode="drop")
         self.last_depth_T_L_C = T_L_C
         self.last_depth_camera = camera
 
@@ -211,13 +245,20 @@ class DeviceMapper:
     # ----------------------------------------------------------------- esdf
     def update_esdf(self, n_outer: Optional[int] = None,
                     refresh_count: bool = True,
-                    use_pallas: Optional[bool] = None) -> None:
+                    use_pallas: Optional[bool] = None,
+                    full: Optional[bool] = None) -> None:
         """ESDF update with a fixed sweep count (no convergence syncs).
 
         n_outer defaults to ceil(max_esdf_distance / block_size) + 1 — the
         worst-case propagation depth in blocks. On TPU the relaxation runs
         in the Pallas VMEM kernel (ops/esdf_pallas.py); elsewhere the XLA
         sweep is used.
+
+        Incremental mode (reference parity: the CUDA ESDF integrator only
+        re-propagates from changed sites): by default every
+        `esdf_full_update_every`-th call is a cold full propagation; calls
+        in between warm-start from the previous site field with
+        `warm_n_outer` sweeps. Pass `full=True/False` to force either.
         """
         if "esdf_site" not in self.channels:
             return
@@ -237,19 +278,24 @@ class DeviceMapper:
         slots, bidx, _ = wg.allocated_batch(self.state, max_blocks=bucket)
         nbrs = wg.neighbor_slots_of(self.state, bidx)
 
-        if n_outer is None:
-            bs = self.voxel_size_m * B
-            n_outer = int(np.ceil(ep.max_esdf_distance_m / bs)) + 1
-        max_sq = (ep.max_esdf_distance_m / self.voxel_size_m) ** 2
-
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if full is None:
+            full = (self._esdf_update_count % self.esdf_full_update_every == 0)
+        if not use_pallas:
+            full = True  # the XLA fallback always re-seeds from scratch
+        self._esdf_update_count += 1
+        if n_outer is None:
+            bs = self.voxel_size_m * B
+            n_outer = (int(np.ceil(ep.max_esdf_distance_m / bs)) + 1
+                       if full else self.warm_n_outer)
+        max_sq = (ep.max_esdf_distance_m / self.voxel_size_m) ** 2
         if use_pallas:
             site, sq = esdf_ops.run_esdf_sweeps_pallas(
                 self.channels["esdf_site"], is_site, nbrs, slots, bidx,
                 self.state.block_index_of_slot,
                 n_outer=int(n_outer), inner_iters=B, max_sq=float(max_sq),
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu", warm=not full)
         else:
             site, sq = esdf_ops.init_esdf_from_sites(
                 self.channels["esdf_site"], self.channels["esdf_sq_dist"],
@@ -278,7 +324,8 @@ class DeviceMapper:
         in_range = slots < cap
         return verts, colors, valid & in_range[:, None, None]
 
-    def update_mesh_dirty_device(self, max_blocks: int = 2048):
+    def update_mesh_dirty_device(self, max_blocks: int = 2048,
+                                 use_pallas: Optional[bool] = None):
         """Incremental device marching cubes over dirty blocks only.
 
         This is the per-frame meshing path (reference parity: incremental
@@ -286,9 +333,29 @@ class DeviceMapper:
         device (`nonzero(size=...)`); returns (verts, colors, valid, bidx)
         device arrays and clears the dirty flags. A block whose -1-side
         neighbor was touched is included (the MC halo reads +1 voxels).
+
+        On TPU the table lookups/edge selection run in the Pallas kernel
+        (ops/mesh_pallas.py); verts come back as `[N, 3, 16, 512]`
+        xyz-major with a `[N, 16, 512]` mask and colors=None.
         """
         slots, bidx = _compact_dirty(self.state, self.dirty,
                                      max_blocks=max_blocks)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from isaac_ros_nvblox_tpu.ops.mesh_pallas import (
+                corner_stacks, marching_cubes_pallas)
+            cap = self.capacity
+            nbrs = wg.neighbor_slots_of(self.state, bidx)
+            tsdf_grid = self.channels["tsdf_distance"].reshape(cap, B, B, B)
+            weight_grid = self.channels["tsdf_weight"].reshape(cap, B, B, B)
+            cd, cw = corner_stacks(tsdf_grid, weight_grid, nbrs)
+            verts, mask = marching_cubes_pallas(
+                cd, cw, bidx, (slots < cap).astype(jnp.int32),
+                voxel_size_m=self.voxel_size_m,
+                min_weight=float(self.params.mesh.min_weight))
+            self.dirty = jnp.zeros_like(self.dirty)
+            return verts, None, mask, bidx
         verts, colors, valid = self._mesh_chunk(slots, bidx)
         self.dirty = jnp.zeros_like(self.dirty)
         return verts, colors, valid, bidx

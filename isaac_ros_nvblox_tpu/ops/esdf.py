@@ -176,27 +176,42 @@ def esdf_sweep_pass(site_coord, sq_dist, neighbor_slots, slots,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_outer", "inner_iters", "max_sq",
-                                    "interpret"),
+                                    "interpret", "warm"),
                    donate_argnums=(0,))
 def run_esdf_sweeps_pallas(site_pool, is_site, neighbor_slots, slots,
                            block_indices, block_indices_all, *,
                            n_outer: int, inner_iters: int, max_sq: float,
-                           interpret: bool = False):
+                           interpret: bool = False, warm: bool = False):
     """Fixed-count ESDF sweeps using the Pallas VMEM relaxation kernel.
 
     site_pool: f32[cap, 512, 3] (donated). Initialization happens inside:
     site voxels get their own coords, others the SENTINEL (so no separate
     validity/INF channel is needed). Returns (site_pool, sq_dist) with
     sq_dist = ||voxel - site||^2 (INF_SQ where unresolved).
+
+    `warm=True` keeps the previous frame's site assignments as the starting
+    point instead of re-seeding from scratch: new sites are added, voxels
+    whose own site status was revoked are invalidated, and a small
+    `n_outer` suffices to absorb incremental changes. References to
+    *remote* sites that have since vanished persist until the next cold
+    update (bounded staleness — the caller interleaves periodic full
+    updates, mirroring the reference's lazily-consistent incremental ESDF).
     """
     from isaac_ros_nvblox_tpu.ops.esdf_pallas import (SENTINEL,
                                                       relax_blocks_pallas)
-    from isaac_ros_nvblox_tpu.ops.halo import gather_halo
+    from isaac_ros_nvblox_tpu.ops.halo import gather_halo_sliced as gather_halo
 
     cap = site_pool.shape[0]
     offs = _local_offsets_f32()  # [512, 3]
     own = (block_indices_all.astype(jnp.float32)[:, None, :] * B + offs[None])
-    site_pool = jnp.where(is_site[..., None], own, SENTINEL)
+    if warm:
+        self_stale = jnp.all(jnp.abs(site_pool - own) < 0.25, axis=-1) \
+            & (~is_site)
+        site_pool = jnp.where(is_site[..., None], own,
+                              jnp.where(self_stale[..., None], SENTINEL,
+                                        site_pool))
+    else:
+        site_pool = jnp.where(is_site[..., None], own, SENTINEL)
 
     N = slots.shape[0]
     origins = (block_indices.astype(jnp.float32) * B)

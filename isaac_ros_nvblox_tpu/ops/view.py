@@ -83,14 +83,25 @@ def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
     cam_origin = T_L_C[:3, 3]
     origin_block = jnp.floor(cam_origin / bs).astype(jnp.int32) - R
 
-    # Max-valid-depth pyramid (invalid pixels carry 0 and never raise max).
+    # Max-valid-depth coarse images (invalid pixels carry 0, never raise
+    # max). Only two coarse levels are needed: the touch test samples max
+    # depth over a window covering the block footprint, and per-element
+    # gathers are slow on TPU — so sampling is done as one-hot matmuls
+    # against small flattened max-images (MXU-friendly, zero gathers).
     d_valid = jnp.where(jnp.isfinite(depth) & (depth > 0.0), depth, 0.0)
-    n_levels = 7
-    pyramid = [d_valid]
-    for _ in range(n_levels - 1):
-        prev = pyramid[-1]
-        pyramid.append(jax.lax.reduce_window(
-            prev, -jnp.inf, jax.lax.max, (2, 2), (2, 2), "SAME"))
+    lvl_a, lvl_b = 5, 6  # cell sizes 32 px and 64 px
+    coarse = {}
+    img = d_valid
+    for lvl in range(lvl_b + 1):
+        if lvl in (lvl_a, lvl_b):
+            # Centered 3x3 overlap max: a sample at the containing cell
+            # covers +- one full cell, guaranteeing footprint coverage for
+            # footprints up to 2 * cell size regardless of alignment.
+            coarse[lvl] = jax.lax.reduce_window(
+                img, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+        img = jax.lax.reduce_window(
+            img, -jnp.inf, jax.lax.max, (2, 2), (2, 2), "SAME")
+    global_max = jnp.max(d_valid)
 
     # Dense cell centers in the layer frame -> camera frame.
     ii = jax.lax.broadcasted_iota(jnp.float32, (G, G, G), 0)
@@ -114,23 +125,25 @@ def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
                & (u >= -half_diag) & (u <= camera.width - 1.0 + half_diag)
                & (v >= -half_diag) & (v <= camera.height - 1.0 + half_diag))
 
-    # Gather the footprint's max depth from the pyramid. Level chosen so the
-    # sampled 2x2 window spans roughly the footprint (window = 2*2^level):
-    # conservative at silhouettes without marking deep occluded regions.
-    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(footprint, 1.0))) - 1,
-                     0, n_levels - 1).astype(jnp.int32)
-    maxd = jnp.zeros_like(z)
-    for lvl in range(n_levels):
-        img = pyramid[lvl]
-        H_l, W_l = img.shape
-        # Footprint may straddle pyramid cells: max over the 2x2 around it.
-        u0 = jnp.clip((u / (2 ** lvl)).astype(jnp.int32) - 1, 0, W_l - 1)
-        v0 = jnp.clip((v / (2 ** lvl)).astype(jnp.int32) - 1, 0, H_l - 1)
-        u1 = jnp.minimum(u0 + 1, W_l - 1)
-        v1 = jnp.minimum(v0 + 1, H_l - 1)
-        m = jnp.maximum(jnp.maximum(img[v0, u0], img[v0, u1]),
-                        jnp.maximum(img[v1, u0], img[v1, u1]))
-        maxd = jnp.where(level == lvl, m, maxd)
+    # Sample the footprint's max depth via one-hot matmuls against the two
+    # coarse max-images. Window coverage: level a (2x32 px) is valid for
+    # footprints <= 32 px, level b (2x64) for <= 64 px; nearer blocks (huge
+    # footprints) conservatively use the frame's global max depth.
+    def onehot_sample(img_l, lvl):
+        H_l, W_l = img_l.shape
+        cu = jnp.clip((u / (2 ** lvl)).astype(jnp.int32), 0, W_l - 1)
+        cv = jnp.clip((v / (2 ** lvl)).astype(jnp.int32), 0, H_l - 1)
+        cell = cv * W_l + cu                               # [M]
+        iota = jnp.arange(H_l * W_l, dtype=jnp.int32)      # [C]
+        onehot = (cell[:, None] == iota[None, :]).astype(jnp.bfloat16)
+        return (onehot @ img_l.reshape(-1).astype(jnp.bfloat16)) \
+            .astype(jnp.float32)
+
+    maxd_a = onehot_sample(coarse[lvl_a], lvl_a)
+    maxd_b = onehot_sample(coarse[lvl_b], lvl_b)
+    maxd = jnp.where(footprint <= 2.0 ** (lvl_a + 1), maxd_a,
+                     jnp.where(footprint <= 2.0 ** (lvl_b + 1), maxd_b,
+                               global_max))
 
     # Touched: in the (inflated) frustum, in front of the measured surface
     # plus truncation (with a half-block-diagonal safety margin), in range.
