@@ -113,6 +113,32 @@ def main():
     mesh_full_ms = (time.perf_counter() - t0) * 1e3
 
     fps = 1000.0 / (tsdf_ms + esdf_ms)
+    # Effective pipeline rate at the reference's operational cadences
+    # (nvblox_base.yaml: depth 40 Hz, ESDF 10 Hz, mesh 5 Hz -> ESDF every
+    # 4th frame, mesh every 8th at 40 fps input).
+    pipeline_fps = 1000.0 / (tsdf_ms + esdf_ms / 4.0 + mesh_ms / 8.0)
+
+    # --- Accuracy vs the analytic scene (reconstruction parity check). ---
+    from isaac_ros_nvblox_tpu.core import world_grid as wgmod
+    from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+    from isaac_ros_nvblox_tpu.ops.esdf import INF_SQ
+    n_blocks = mapper.block_count()
+    slots_np = np.arange(n_blocks, dtype=np.int32)
+    bidx_np = np.asarray(mapper.state.block_index_of_slot)[:n_blocks]
+    centers = voxel_centers_for_blocks(jnp.asarray(bidx_np), voxel_size)
+    gt_sdf = np.asarray(scene.sdf(centers))
+    tsdf = np.asarray(mapper.channels["tsdf_distance"])[slots_np]
+    w = np.asarray(mapper.channels["tsdf_weight"])[slots_np]
+    band = (np.abs(gt_sdf) < 0.1) & (w > 0.5)
+    tsdf_mae = float(np.mean(np.abs(tsdf[band] - gt_sdf[band]))) \
+        if band.any() else float("nan")
+    sq = np.asarray(mapper.channels["esdf_sq_dist"])[slots_np]
+    inside = np.asarray(mapper.channels["esdf_is_inside"])[slots_np]
+    est = np.minimum(np.sqrt(np.minimum(sq, float(INF_SQ))) * voxel_size, 2.0)
+    est = np.where(inside, -est, est)
+    esdf_mask = (gt_sdf > 3 * voxel_size) & (gt_sdf < 1.0) & (sq < 1e11)
+    esdf_mae = float(np.mean(np.abs(est[esdf_mask] - gt_sdf[esdf_mask]))) \
+        if esdf_mask.any() else float("nan")
 
     # Reference (BASELINE.md, Replica @ RTX 3090): TSDF 0.5 ms + ESDF 0.8 ms.
     baseline_fps = 1000.0 / (0.5 + 0.8)
@@ -121,10 +147,13 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 4),
+        "pipeline_fps_at_ref_cadence": round(pipeline_fps, 2),
         "tsdf_ms": round(tsdf_ms, 3),
         "esdf_ms": round(esdf_ms, 3),
         "mesh_ms": round(mesh_ms, 2),
         "mesh_ms_full_layer": round(mesh_full_ms, 2),
+        "tsdf_mae_m": round(tsdf_mae, 4),
+        "esdf_mae_m": round(esdf_mae, 4),
         "allocated_blocks": mapper.block_count(),
         "device": str(jax.devices()[0]),
     }))
