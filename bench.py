@@ -49,7 +49,7 @@ def main():
                     width=640, height=480)
     scene = default_test_scene()
     voxel_size = 0.05
-    n_frames = 24
+    n_frames = 20
     warmup = 4
     timed = n_frames - warmup
 
@@ -68,14 +68,16 @@ def main():
         enable_color=False, enable_esdf=True,
         max_blocks_per_frame=4096)
 
-    # Warmup: populate the map + trigger all compilations.
+    # Warmup: populate the map + trigger ALL compilations (both the cold
+    # and warm ESDF variants and the dirty-mesh kernel) so the timed region
+    # is execution only.
     for depth, T in frames[:warmup]:
         mapper.integrate_depth(depth, T, camera)
     mapper.refresh_count()
-    mapper.update_esdf(refresh_count=False)
-    for r in mapper.update_mesh_device():
-        pass
-    _barrier(mapper.channels["esdf_sq_dist"], r[0])
+    mapper.update_esdf(refresh_count=False, full=True)
+    mapper.update_esdf(refresh_count=False, full=False)
+    v, _, _, _ = mapper.update_mesh_dirty_device()
+    _barrier(mapper.channels["esdf_sq_dist"], v)
     mapper.refresh_count()  # lock in the bucket size for the timed region
 
     # --- TSDF integrate: async dispatch, scalar-fetch barrier at the end. ---
@@ -86,7 +88,7 @@ def main():
     tsdf_ms = (time.perf_counter() - t0) * 1e3 / timed
 
     # --- ESDF update: fixed-sweep device loop. ---
-    n_esdf = 8
+    n_esdf = 4
     t0 = time.perf_counter()
     for _ in range(n_esdf):
         mapper.update_esdf(refresh_count=False)
@@ -96,7 +98,7 @@ def main():
     # --- Mesh (incremental): device marching cubes over dirty blocks,
     # measured per frame like the reference's mesh component time. ---
     mapper.update_mesh_dirty_device()  # clear backlog + compile
-    n_mesh = 8
+    n_mesh = 4
     t0 = time.perf_counter()
     for depth, T in frames[warmup:warmup + n_mesh]:
         mapper.integrate_depth(depth, T, camera)
@@ -105,12 +107,6 @@ def main():
     t_int_mesh = (time.perf_counter() - t0) * 1e3 / n_mesh
     mesh_ms = max(t_int_mesh - tsdf_ms, 0.0)
 
-    # --- Mesh (full map), for reference. ---
-    t0 = time.perf_counter()
-    for r in mapper.update_mesh_device():
-        last = r[0]
-    _barrier(last)
-    mesh_full_ms = (time.perf_counter() - t0) * 1e3
 
     fps = 1000.0 / (tsdf_ms + esdf_ms)
     # Effective pipeline rate at the reference's operational cadences
@@ -151,7 +147,6 @@ def main():
         "tsdf_ms": round(tsdf_ms, 3),
         "esdf_ms": round(esdf_ms, 3),
         "mesh_ms": round(mesh_ms, 2),
-        "mesh_ms_full_layer": round(mesh_full_ms, 2),
         "tsdf_mae_m": round(tsdf_mae, 4),
         "esdf_mae_m": round(esdf_mae, 4),
         "allocated_blocks": mapper.block_count(),

@@ -97,8 +97,52 @@ def _integrate_frame_fused(state, distance, weight, dirty, depth, T_L_C, *,
     return state, distance, weight, dirty
 
 
-@functools.partial(jax.jit, static_argnames=("max_blocks",))
-def _compact_dirty(state, dirty, *, max_blocks: int):
+@functools.partial(jax.jit,
+                   static_argnames=("voxel_size_m", "min_weight",
+                                    "max_blocks", "interpret"))
+def _mesh_dirty_fused(state, dirty, tsdf_distance, tsdf_weight, *,
+                      voxel_size_m: float, min_weight: float,
+                      max_blocks: int, interpret: bool):
+    """compact dirty -> neighbors -> corner stacks -> Pallas MC, one program."""
+    from isaac_ros_nvblox_tpu.ops.mesh_pallas import (corner_stacks,
+                                                      marching_cubes_pallas)
+    cap = tsdf_distance.shape[0]
+    slots, bidx = _compact_dirty_impl(state, dirty, max_blocks=max_blocks)
+    nbrs = wg.neighbor_slots_of(state, bidx)
+    cd, cw = corner_stacks(tsdf_distance.reshape(cap, B, B, B),
+                           tsdf_weight.reshape(cap, B, B, B), nbrs)
+    verts, mask = marching_cubes_pallas(
+        cd, cw, bidx, (slots < cap).astype(jnp.int32),
+        voxel_size_m=voxel_size_m, min_weight=min_weight,
+        interpret=interpret)
+    return verts, mask, bidx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_outer", "inner_iters", "max_sq",
+                                    "interpret", "warm", "max_blocks",
+                                    "voxel_size_m", "max_site_distance_vox",
+                                    "min_weight"),
+                   donate_argnums=(1,))
+def _esdf_update_fused(state, packed_pool, tsdf_distance, tsdf_weight, *,
+                       voxel_size_m: float, max_site_distance_vox: float,
+                       min_weight: float, n_outer: int, inner_iters: int,
+                       max_sq: float, interpret: bool, warm: bool,
+                       max_blocks: int):
+    """sites -> batch -> neighbors -> packed sweeps, one program."""
+    is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+        tsdf_distance, tsdf_weight, voxel_size_m=jnp.float32(voxel_size_m),
+        max_site_distance_vox=max_site_distance_vox, min_weight=min_weight)
+    slots, bidx, _ = wg.allocated_batch(state, max_blocks=max_blocks)
+    nbrs = wg.neighbor_slots_of(state, bidx)
+    packed, sq = esdf_ops.run_esdf_sweeps_packed(
+        packed_pool, is_site, nbrs, slots, bidx, n_outer=n_outer,
+        inner_iters=inner_iters, max_sq=max_sq, interpret=interpret,
+        warm=warm)
+    return packed, sq, is_inside, observed
+
+
+def _compact_dirty_impl(state, dirty, *, max_blocks: int):
     """Dirty slots (plus their -1-side neighbors) as a static-size batch."""
     cap = dirty.shape[0]
     # Expand dirtiness to -1-side neighbors via the slot grid: a block is
@@ -126,6 +170,9 @@ def _compact_dirty(state, dirty, *, max_blocks: int):
     slots = jnp.where(lane, idx, cap)
     bidx = jnp.where(lane[:, None], state.block_index_of_slot[idx], 0)
     return slots, bidx
+
+
+_compact_dirty = jax.jit(_compact_dirty_impl, static_argnames=("max_blocks",))
 
 
 class DeviceMapper:
@@ -156,6 +203,10 @@ class DeviceMapper:
         if enable_esdf:
             self.channels["esdf_site"] = jnp.zeros(
                 (cap, VOXELS_PER_BLOCK, 3), jnp.float32)
+            # Packed block-relative sites (one i32/voxel) — the TPU sweep's
+            # working representation (3x less halo traffic than f32 SoA).
+            self.channels["esdf_site_packed"] = jnp.full(
+                (cap, VOXELS_PER_BLOCK), -1, jnp.int32)
             self.channels["esdf_sq_dist"] = jnp.full(
                 (cap, VOXELS_PER_BLOCK), float(esdf_ops.INF_SQ), jnp.float32)
             self.channels["esdf_is_inside"] = jnp.zeros(
@@ -263,20 +314,10 @@ class DeviceMapper:
         if "esdf_site" not in self.channels:
             return
         ep = self.params.esdf
-        is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
-            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
-            voxel_size_m=jnp.float32(self.voxel_size_m),
-            max_site_distance_vox=float(ep.max_site_distance_vox),
-            min_weight=float(ep.min_weight))
-        self.channels["esdf_is_inside"] = is_inside
-        self.channels["esdf_observed"] = observed
-
         if refresh_count:
             self.refresh_count()
         bucket = _bucket(max(self._count_cache, 1))
         bucket = min(bucket, self.capacity)
-        slots, bidx, _ = wg.allocated_batch(self.state, max_blocks=bucket)
-        nbrs = wg.neighbor_slots_of(self.state, bidx)
 
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -291,18 +332,36 @@ class DeviceMapper:
                        if full else self.warm_n_outer)
         max_sq = (ep.max_esdf_distance_m / self.voxel_size_m) ** 2
         if use_pallas:
-            site, sq = esdf_ops.run_esdf_sweeps_pallas(
-                self.channels["esdf_site"], is_site, nbrs, slots, bidx,
-                self.state.block_index_of_slot,
-                n_outer=int(n_outer), inner_iters=B, max_sq=float(max_sq),
-                interpret=jax.default_backend() != "tpu", warm=not full)
-        else:
-            site, sq = esdf_ops.init_esdf_from_sites(
-                self.channels["esdf_site"], self.channels["esdf_sq_dist"],
-                is_site, self.state.block_index_of_slot)
-            site, sq = _esdf_fixed_sweeps(
-                site, sq, nbrs, slots, bidx, n_outer=int(n_outer),
-                inner_iters=B, max_sq_dist_vox=float(max_sq))
+            # Single fused program: zero extra dispatches per update.
+            packed, sq, is_inside, observed = _esdf_update_fused(
+                self.state, self.channels["esdf_site_packed"],
+                self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+                voxel_size_m=float(self.voxel_size_m),
+                max_site_distance_vox=float(ep.max_site_distance_vox),
+                min_weight=float(ep.min_weight), n_outer=int(n_outer),
+                inner_iters=B, max_sq=float(max_sq),
+                interpret=jax.default_backend() != "tpu", warm=not full,
+                max_blocks=bucket)
+            self.channels["esdf_site_packed"] = packed
+            self.channels["esdf_sq_dist"] = sq
+            self.channels["esdf_is_inside"] = is_inside
+            self.channels["esdf_observed"] = observed
+            return
+        is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+            voxel_size_m=jnp.float32(self.voxel_size_m),
+            max_site_distance_vox=float(ep.max_site_distance_vox),
+            min_weight=float(ep.min_weight))
+        self.channels["esdf_is_inside"] = is_inside
+        self.channels["esdf_observed"] = observed
+        slots, bidx, _ = wg.allocated_batch(self.state, max_blocks=bucket)
+        nbrs = wg.neighbor_slots_of(self.state, bidx)
+        site, sq = esdf_ops.init_esdf_from_sites(
+            self.channels["esdf_site"], self.channels["esdf_sq_dist"],
+            is_site, self.state.block_index_of_slot)
+        site, sq = _esdf_fixed_sweeps(
+            site, sq, nbrs, slots, bidx, n_outer=int(n_outer),
+            inner_iters=B, max_sq_dist_vox=float(max_sq))
         self.channels["esdf_site"] = site
         self.channels["esdf_sq_dist"] = sq
 
@@ -338,24 +397,20 @@ class DeviceMapper:
         (ops/mesh_pallas.py); verts come back as `[N, 3, 16, 512]`
         xyz-major with a `[N, 16, 512]` mask and colors=None.
         """
-        slots, bidx = _compact_dirty(self.state, self.dirty,
-                                     max_blocks=max_blocks)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
-            from isaac_ros_nvblox_tpu.ops.mesh_pallas import (
-                corner_stacks, marching_cubes_pallas)
-            cap = self.capacity
-            nbrs = wg.neighbor_slots_of(self.state, bidx)
-            tsdf_grid = self.channels["tsdf_distance"].reshape(cap, B, B, B)
-            weight_grid = self.channels["tsdf_weight"].reshape(cap, B, B, B)
-            cd, cw = corner_stacks(tsdf_grid, weight_grid, nbrs)
-            verts, mask = marching_cubes_pallas(
-                cd, cw, bidx, (slots < cap).astype(jnp.int32),
-                voxel_size_m=self.voxel_size_m,
-                min_weight=float(self.params.mesh.min_weight))
+            verts, mask, bidx = _mesh_dirty_fused(
+                self.state, self.dirty, self.channels["tsdf_distance"],
+                self.channels["tsdf_weight"],
+                voxel_size_m=float(self.voxel_size_m),
+                min_weight=float(self.params.mesh.min_weight),
+                max_blocks=max_blocks,
+                interpret=jax.default_backend() != "tpu")
             self.dirty = jnp.zeros_like(self.dirty)
             return verts, None, mask, bidx
+        slots, bidx = _compact_dirty(self.state, self.dirty,
+                                     max_blocks=max_blocks)
         verts, colors, valid = self._mesh_chunk(slots, bidx)
         self.dirty = jnp.zeros_like(self.dirty)
         return verts, colors, valid, bidx

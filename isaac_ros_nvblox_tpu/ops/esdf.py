@@ -242,6 +242,68 @@ def run_esdf_sweeps_pallas(site_pool, is_site, neighbor_slots, slots,
     return site_pool, sq
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_outer", "inner_iters", "max_sq",
+                                    "interpret", "warm"),
+                   donate_argnums=(0,))
+def run_esdf_sweeps_packed(packed_pool, is_site, neighbor_slots, slots,
+                           block_indices, *, n_outer: int, inner_iters: int,
+                           max_sq: float, interpret: bool = False,
+                           warm: bool = False):
+    """Packed-site ESDF sweeps: i32[cap, 512] pool (one int per voxel).
+
+    Same semantics as run_esdf_sweeps_pallas but with block-relative sites
+    packed one byte per axis — 3x less HBM traffic on the halo/scatter path
+    (the dominant cost of an update). Returns (packed_pool, sq_dist).
+    """
+    from isaac_ros_nvblox_tpu.ops.esdf_pallas import (INVALID_PACKED,
+                                                      relax_blocks_packed)
+    from isaac_ros_nvblox_tpu.ops.halo import gather_halo_sliced
+
+    cap = packed_pool.shape[0]
+    offs = jnp.asarray(_local_offsets_np().astype(np.int32))  # [512, 3]
+    pack_own = ((offs[:, 0] + 128) | ((offs[:, 1] + 128) << 8)
+                | ((offs[:, 2] + 128) << 16))[None, :]        # [1, 512]
+    if warm:
+        self_stale = (packed_pool == pack_own) & (~is_site)
+        packed_pool = jnp.where(is_site, pack_own,
+                                jnp.where(self_stale, INVALID_PACKED,
+                                          packed_pool))
+    else:
+        packed_pool = jnp.where(is_site, pack_own, INVALID_PACKED)
+
+    N = slots.shape[0]
+
+    def outer(_, packed_pool):
+        grid = packed_pool.reshape(cap, B, B, B)
+        pad = gather_halo_sliced(grid, neighbor_slots, lo=1, hi=1,
+                                 fill=INVALID_PACKED)
+        flat = pad.reshape(N, 1000)
+        flat = jnp.pad(flat, ((0, 0), (0, 24)),
+                       constant_values=INVALID_PACKED)
+        flat = relax_blocks_packed(flat, inner_iters=inner_iters,
+                                   max_sq=max_sq, interpret=interpret)
+        interior = flat[:, :1000].reshape(N, 10, 10, 10)[
+            :, 1:-1, 1:-1, 1:-1].reshape(N, B ** 3)
+        return packed_pool.at[slots].set(interior, mode="drop")
+
+    packed_pool = jax.lax.fori_loop(0, n_outer, outer, packed_pool)
+
+    # Finalize squared distances (block-relative, exact integer coords).
+    valid = packed_pool >= 0
+    sx = ((packed_pool & 255) - 128).astype(jnp.float32)
+    sy = (((packed_pool >> 8) & 255) - 128).astype(jnp.float32)
+    sz = (((packed_pool >> 16) & 255) - 128).astype(jnp.float32)
+    offs_f = _local_offsets_f32()  # [512, 3]
+    dx = sx - offs_f[None, :, 0]
+    dy = sy - offs_f[None, :, 1]
+    dz = sz - offs_f[None, :, 2]
+    sq = dx * dx + dy * dy + dz * dz
+    sq = jnp.where(valid, jnp.minimum(sq, INF_SQ), INF_SQ)
+    sq = jnp.where(is_site, 0.0, sq)
+    return packed_pool, sq
+
+
 def update_esdf(pool, table, *, voxel_size_m: float,
                 params: EsdfIntegratorParams,
                 sites_from: str = "tsdf",

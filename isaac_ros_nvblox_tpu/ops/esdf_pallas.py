@@ -191,3 +191,117 @@ def _kernel_io_adapter(kernel):
         sz_out[:] = sz_in[:]
         kernel(bx, by, bz, sx_out, sy_out, sz_out, masks, lcoord)
     return run
+
+
+# --------------------------------------------------------------------------
+# Packed-site variant: one int32 per voxel instead of three f32 coordinates.
+#
+# Sites are stored *relative to the voxel's own block origin* with one byte
+# per axis (bias +128; relative range needed is +-(max_esdf_vox + 8) << 127).
+# Relative coordinates make the packing world-size independent, and the
+# owner shift of halo lanes (a neighbor's value is relative to *its* block)
+# is a per-lane constant (+-8 per crossed axis) applied at unpack time. HBM
+# traffic for the halo build + scatter drops 3x vs the f32 SoA form.
+# --------------------------------------------------------------------------
+
+INVALID_PACKED = -1
+
+
+def _relax_packed_kernel(packed_in, packed_out, masks_ref, lcoord_ref,
+                         *, inner_iters: int, max_sq: float):
+    p = packed_in[:]                                   # (Bt, V_PAD) int32
+    lx = lcoord_ref[0:1, :]                            # padded-local coords
+    ly = lcoord_ref[1:2, :]
+    lz = lcoord_ref[2:3, :]
+    # Owner shift: halo lanes hold values relative to the neighbor block.
+    ox = jnp.where(lx < 0.0, -8.0, jnp.where(lx > 7.0, 8.0, 0.0))
+    oy = jnp.where(ly < 0.0, -8.0, jnp.where(ly > 7.0, 8.0, 0.0))
+    oz = jnp.where(lz < 0.0, -8.0, jnp.where(lz > 7.0, 8.0, 0.0))
+
+    valid = p >= 0
+    sx = ((p & 255) - 128).astype(jnp.float32) + ox
+    sy = (((p >> 8) & 255) - 128).astype(jnp.float32) + oy
+    sz = (((p >> 16) & 255) - 128).astype(jnp.float32) + oz
+    sx = jnp.where(valid, sx, SENTINEL)
+    sy = jnp.where(valid, sy, SENTINEL)
+    sz = jnp.where(valid, sz, SENTINEL)
+
+    cx, cy, cz = lx, ly, lz
+
+    def sq_to(px, py, pz):
+        dx = cx - px
+        dy = cy - py
+        dz = cz - pz
+        return dx * dx + dy * dy + dz * dz
+
+    def one_iter(_, state):
+        sx, sy, sz = state
+        best_sq = jnp.minimum(sq_to(sx, sy, sz), jnp.float32(1e18))
+        for s, (dx, dy, dz) in enumerate(_SHIFTS):
+            off = 100 * dx + 10 * dy + dz
+            shift = (-off) % V_PAD
+            rx = pltpu.roll(sx, shift, axis=1)
+            ry = pltpu.roll(sy, shift, axis=1)
+            rz = pltpu.roll(sz, shift, axis=1)
+            m = masks_ref[s:s + 1, :]
+            rx = jnp.where(m > 0.5, rx, SENTINEL)
+            # Rolled sites are relative to the *source lane's* block frame
+            # only when crossing block boundaries — but all lanes in this
+            # padded array share one frame (the center block), so no
+            # adjustment is needed here.
+            cand = sq_to(rx, ry, rz)
+            better = (cand < best_sq) & (cand <= max_sq)
+            best_sq = jnp.where(better, cand, best_sq)
+            sx = jnp.where(better, rx, sx)
+            sy = jnp.where(better, ry, sy)
+            sz = jnp.where(better, rz, sz)
+        return sx, sy, sz
+
+    sx, sy, sz = jax.lax.fori_loop(0, inner_iters, one_iter, (sx, sy, sz))
+
+    ok = sx < SENTINEL * 0.5
+    xi = jnp.clip(jnp.round(sx).astype(jnp.int32) + 128, 0, 255)
+    yi = jnp.clip(jnp.round(sy).astype(jnp.int32) + 128, 0, 255)
+    zi = jnp.clip(jnp.round(sz).astype(jnp.int32) + 128, 0, 255)
+    packed_out[:] = jnp.where(ok, xi | (yi << 8) | (zi << 16),
+                              INVALID_PACKED)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("inner_iters", "max_sq", "interpret"))
+def relax_blocks_packed(packed, *, inner_iters: int, max_sq: float,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Packed-site relaxation over all blocks; packed: i32[N, V_PAD]."""
+    N = packed.shape[0]
+    Bt = 8
+    n_tiles = (N + Bt - 1) // Bt
+    masks = jnp.asarray(_shift_masks(), jnp.float32)
+    lcoord = jnp.asarray(_local_coords())
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Bt, V_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((26, V_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, V_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bt, V_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def run(pk_in, masks_ref, lcoord_ref, pk_out):
+        _relax_packed_kernel(pk_in, pk_out, masks_ref, lcoord_ref,
+                             inner_iters=inner_iters, max_sq=float(max_sq))
+
+    (out,) = pl.pallas_call(
+        run,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(packed.shape, jnp.int32)],
+        interpret=interpret,
+    )(packed, masks, lcoord)
+    return out

@@ -55,44 +55,47 @@ class Plane:
 
 @functools.partial(jax.jit, static_argnames=("voxel_size_m", "min_z_m",
                                              "max_z_m", "min_weight"))
-def tsdf_zero_crossings_ground_candidates(tsdf_grid, weight_grid,
-                                          block_indices_all, allocated_mask,
+def tsdf_zero_crossings_ground_candidates(tsdf_pad, weight_pad,
+                                          block_indices, valid_blocks,
                                           *, voxel_size_m: float,
                                           min_z_m: float, max_z_m: float,
                                           min_weight: float = 1e-4):
-    """Per block-column candidate points `f32[cap, 64, 3]` + valid mask.
+    """Per block-column candidate points `f32[N, 64, 3]` + valid mask.
 
     A candidate is the sub-voxel z position where the TSDF crosses from
     negative (below floor) to positive (above) along +z, per (x, y) column.
+    Inputs are +1-halo padded `[N, 9, 9, 9]` grids (gather_halo lo=0 hi=1)
+    so crossings at block boundaries are found too (floors commonly sit on
+    exact block boundaries, e.g. z = 0).
     """
-    cap = tsdf_grid.shape[0]
-    d = tsdf_grid      # [cap, 8, 8, 8]
-    w = weight_grid
+    cap = tsdf_pad.shape[0]
+    d = tsdf_pad[:, :8, :8, :]    # [N, 8, 8, 9] — z keeps the +1 halo
+    w = weight_pad[:, :8, :8, :]
     below = d[:, :, :, :-1]
     above = d[:, :, :, 1:]
     wb = w[:, :, :, :-1]
     wa = w[:, :, :, 1:]
     crossing = (below < 0.0) & (above >= 0.0) & (wb >= min_weight) \
-        & (wa >= min_weight)  # [cap, 8, 8, 7]
+        & (wa >= min_weight)  # [N, 8, 8, 8]
     # Sub-voxel interpolation along z.
     t = below / jnp.where(jnp.abs(below - above) > 1e-9, below - above, 1e-9)
     zi = jax.lax.broadcasted_iota(jnp.float32, crossing.shape, 3)
     z_local = zi + jnp.clip(t, 0.0, 1.0)
     # Take the lowest crossing per column.
-    first = jnp.argmax(crossing, axis=3)  # [cap, 8, 8]
+    first = jnp.argmax(crossing, axis=3)  # [N, 8, 8]
     any_cross = jnp.any(crossing, axis=3)
     z_sel = jnp.take_along_axis(z_local, first[..., None], axis=3)[..., 0]
 
-    bx = block_indices_all[:, 0].astype(jnp.float32)
-    by = block_indices_all[:, 1].astype(jnp.float32)
-    bz = block_indices_all[:, 2].astype(jnp.float32)
+    bx = block_indices[:, 0].astype(jnp.float32)
+    by = block_indices[:, 1].astype(jnp.float32)
+    bz = block_indices[:, 2].astype(jnp.float32)
     xi = jax.lax.broadcasted_iota(jnp.float32, (cap, B, B), 1)
     yi = jax.lax.broadcasted_iota(jnp.float32, (cap, B, B), 2)
     px = (bx[:, None, None] * B + xi + 0.5) * voxel_size_m
     py = (by[:, None, None] * B + yi + 0.5) * voxel_size_m
     pz = (bz[:, None, None] * B + z_sel + 0.5) * voxel_size_m
     pts = jnp.stack([px, py, pz], axis=-1).reshape(cap, B * B, 3)
-    valid = (any_cross & allocated_mask[:, None, None]
+    valid = (any_cross & valid_blocks[:, None, None]
              & (pz >= min_z_m) & (pz <= max_z_m)).reshape(cap, B * B)
     return pts, valid
 
@@ -107,7 +110,14 @@ def ransac_plane_fit(points, valid, key, *,
     """
     N = points.shape[0]
     n_hyp = params.num_ransac_iterations
-    idx = jax.random.randint(key, (n_hyp, 3), 0, N)
+    # Hypotheses must sample *valid* candidates (they are typically a small
+    # fraction of the slots): compact valid indices, draw modulo their count.
+    max_cand = min(N, 16384)
+    (cand_idx,) = jnp.nonzero(valid, size=max_cand, fill_value=0)
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    draw = jax.random.randint(key, (n_hyp, 3), 0, max_cand) \
+        % jnp.minimum(n_valid, max_cand)
+    idx = cand_idx[draw]
     tri = points[idx]  # [H, 3, 3]
     tri_valid = jnp.all(valid[idx], axis=1)
 
@@ -152,11 +162,19 @@ class GroundPlaneEstimator:
     def estimate(self, mapper) -> Optional[Plane]:
         if "tsdf_distance" not in mapper.pool.channels:
             return None
+        from isaac_ros_nvblox_tpu.ops.halo import gather_halo
+        slots = mapper.table.allocated_slots()
+        if slots.size == 0:
+            return None
+        nbrs = jnp.asarray(mapper.table.neighbors[slots])
+        d_pad = gather_halo(mapper.pool.voxel_grid_view("tsdf_distance"),
+                            nbrs, lo=0, hi=1, fill=0.0)
+        w_pad = gather_halo(mapper.pool.voxel_grid_view("tsdf_weight"),
+                            nbrs, lo=0, hi=1, fill=0.0)
         pts, valid = tsdf_zero_crossings_ground_candidates(
-            mapper.pool.voxel_grid_view("tsdf_distance"),
-            mapper.pool.voxel_grid_view("tsdf_weight"),
-            jnp.asarray(mapper.table.block_indices),
-            jnp.asarray(mapper.table.allocated),
+            d_pad, w_pad,
+            jnp.asarray(mapper.table.block_indices[slots]),
+            jnp.ones((slots.size,), jnp.bool_),
             voxel_size_m=mapper.voxel_size_m,
             min_z_m=self.params.ground_points_candidates_min_z_m,
             max_z_m=self.params.ground_points_candidates_max_z_m)

@@ -150,6 +150,9 @@ class NvbloxNode:
             if self._gate.should_process(
                     "decay", self.params.decay_rate_hz, now):
                 self.multi_mapper.decay()
+            if self._gate.should_process(
+                    "layers", self.params.publish_layer_rate_hz, now):
+                self._publish_voxel_layers()
             if self.params.map_clearing_radius_m > 0:
                 self._clear_map_outside_radius(now)
         self.tick_count += 1
@@ -277,6 +280,79 @@ class NvbloxNode:
             block_size_m=static_mapper.voxel_size_m * 8,
             blocks=blocks, removed_blocks=removed)
         self.bus.publish("~/mesh", msg)
+
+    def _publish_voxel_layers(self) -> None:
+        """Incremental voxel-layer streaming (parity: LayerPublisher
+        serializeAndpublishSubscribedLayers, layer_publishing.cpp:675-826).
+
+        Publishes `VoxelBlockLayerMsg`s for subscribed layers; serialization
+        is skipped entirely when nobody subscribes (the reference's
+        subscriber-bitmask gate)."""
+        import numpy as np
+        from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+        import jax.numpy as jnp
+        from isaac_ros_nvblox_tpu.runtime.msgs import (VoxelBlockLayerMsg,
+                                                       VoxelBlockMsg)
+        m = self.multi_mapper.static_mapper
+        layer_channels = {
+            "~/tsdf_layer": ("tsdf_distance", "tsdf_weight"),
+            "~/color_layer": ("color_rgb", "color_weight"),
+            "~/occupancy_layer": ("occupancy_log_odds", None),
+            "~/esdf_layer": ("esdf_sq_dist", None),
+            "~/freespace_layer": ("freespace_high_confidence", None),
+        }
+        for topic, (channel, weight_ch) in layer_channels.items():
+            if self.bus.num_subscribers(topic) == 0:
+                continue
+            if channel not in m.pool.channels:
+                continue
+            slots = m.table.allocated_slots()
+            if slots.size == 0:
+                continue
+            bidx = m.table.block_indices[slots]
+            centers = np.asarray(voxel_centers_for_blocks(
+                jnp.asarray(bidx), m.voxel_size_m))
+            values = np.asarray(m.pool[channel])[slots]
+            occupied = (np.asarray(m.pool[weight_ch])[slots] > 1e-4
+                        if weight_ch and weight_ch in m.pool.channels
+                        else np.ones(values.shape[:2], bool))
+            blocks = []
+            for i in range(slots.size):
+                mask = occupied[i]
+                if not mask.any():
+                    continue
+                blocks.append(VoxelBlockMsg(
+                    index=Index3D(*bidx[i]),
+                    centers=centers[i][mask].astype(np.float32),
+                    values=values[i][mask]))
+            self.bus.publish(topic, VoxelBlockLayerMsg(
+                header=Header(stamp_s=self.clock(),
+                              frame_id=self.params.global_frame),
+                layer_name=channel, block_size_m=m.voxel_size_m * 8,
+                voxel_size_m=m.voxel_size_m, blocks=blocks,
+                removed_blocks=[]))
+
+    def shutdown(self, output_dir=None) -> None:
+        """Shutdown hook: export the 2D occupancy map (parity: the map-saving
+        shutdown hook, nvblox_node.cpp:129-169)."""
+        if output_dir is None:
+            return
+        from isaac_ros_nvblox_tpu.io.occupancy_grid_io import \
+            save_occupancy_grid
+        from isaac_ros_nvblox_tpu.ops.esdf_slicer import (
+            occupancy_grid_from_slice, slice_esdf_layer)
+        m = self.multi_mapper.static_mapper
+        m.update_esdf()
+        res = slice_esdf_layer(
+            m.pool, m.table, voxel_size_m=m.voxel_size_m,
+            slice_height_m=self.params.esdf_slice_height,
+            max_distance_m=m.params.esdf.max_esdf_distance_m)
+        if res is None:
+            return
+        spec, img = res
+        grid = occupancy_grid_from_slice(img, self.params.free_threshold_m)
+        save_occupancy_grid(output_dir, "map", grid, spec.voxel_size_m,
+                            spec.origin_x_m, spec.origin_y_m)
 
     def _clear_map_outside_radius(self, now: float) -> None:
         if not self._gate.should_process("map_clearing", 1.0, now):

@@ -1,0 +1,116 @@
+"""MultiMapper (dynamic/human modes), ground plane, lidar integration."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from isaac_ros_nvblox_tpu.mapper.multi_mapper import MultiMapper
+from isaac_ros_nvblox_tpu.mapper.params import (MappingType, MultiMapperParams,
+                                                make_params)
+from isaac_ros_nvblox_tpu.models.camera import Camera
+from isaac_ros_nvblox_tpu.models.lidar import (Lidar,
+                                               pointcloud_to_range_image)
+from isaac_ros_nvblox_tpu.models.scene import (Scene, Sphere, orbit_pose,
+                                               render_depth)
+from isaac_ros_nvblox_tpu.ops.ground_plane import GroundPlaneEstimator
+
+CAM = Camera(fx=120.0, fy=120.0, cx=59.5, cy=44.5, width=120, height=90)
+VOXEL = 0.05
+
+
+def test_human_mode_splits_masked_depth():
+    params = make_params(mode="people_segmentation",
+                         overlay={"block_capacity": 4096,
+                                  "static_mapper": {
+                                      "remove_small_connected_components": False}})
+    mm = MultiMapper(params)
+    assert mm.dynamic_mapper is not None
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.6),))
+    T = orbit_pose(0.0, radius=2.0, height=1.0, target=(0, 0, 1.0))
+    depth = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
+    mask = np.zeros_like(depth, np.uint8)
+    mask[:, :40] = 255  # left strip is "person"
+    mm.integrate_depth(depth, T, CAM, mask=mask)
+    # Static map got background; dynamic occupancy map got the foreground.
+    assert mm.static_mapper.table.num_allocated > 0
+    assert mm.dynamic_mapper.table.num_allocated > 0
+    lo = np.asarray(mm.dynamic_mapper.pool["occupancy_log_odds"])
+    assert (lo > 0).any()  # occupied evidence in the dynamic layer
+
+
+def test_mask_connected_component_filter():
+    from isaac_ros_nvblox_tpu.ops.masking import remove_small_connected_components
+    mask = np.zeros((50, 50), np.uint8)
+    mask[5:30, 5:30] = 1      # big component (625 px)
+    mask[40:42, 40:42] = 1    # small component (4 px)
+    out = remove_small_connected_components(mask, size_threshold=100)
+    assert out[10, 10] == 1 and out[41, 41] == 0
+
+
+def test_lidar_range_image_roundtrip():
+    lidar = Lidar.equal_vertical_fov(num_azimuth=360, num_elevation=32,
+                                     vertical_fov_rad=np.deg2rad(40))
+    rng = np.random.RandomState(0)
+    # Random points in the valid range/elevation band.
+    az = rng.uniform(-np.pi, np.pi, 500)
+    el = rng.uniform(-np.deg2rad(19), np.deg2rad(19), 500)
+    r = rng.uniform(1.0, 20.0, 500)
+    pts = np.stack([r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az),
+                    r * np.sin(el)], 1).astype(np.float32)
+    img = np.asarray(pointcloud_to_range_image(jnp.asarray(pts), lidar))
+    assert img.shape == (32, 360)
+    filled = (img > 0).sum()
+    assert filled > 300  # most points land in distinct cells
+    # Ranges preserved (min-combine keeps closest).
+    assert 1.0 <= img[img > 0].min() and img[img > 0].max() <= 20.0
+
+
+def test_lidar_tsdf_integration():
+    params = make_params(overlay={"block_capacity": 4096})
+    mm = MultiMapper(params)
+    lidar = Lidar.equal_vertical_fov(num_azimuth=256, num_elevation=32,
+                                     vertical_fov_rad=np.deg2rad(45),
+                                     max_range_m=20.0)
+    # A cylinder wall of points at 3 m around the sensor.
+    az = np.linspace(-np.pi, np.pi, 2000, endpoint=False)
+    z = np.tile(np.linspace(-0.5, 0.5, 4), 500)
+    pts = np.stack([3.0 * np.cos(az), 3.0 * np.sin(az), z], 1).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = (0, 0, 1.0)
+    mm.integrate_pointcloud(pts, T, lidar=lidar)
+    m = mm.static_mapper
+    assert m.table.num_allocated > 50
+    d = np.asarray(m.pool["tsdf_distance"])
+    w = np.asarray(m.pool["tsdf_weight"])
+    assert (w > 0).any()
+    # Surface voxels (near radius 3) have near-zero tsdf.
+    from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+    slots = m.table.allocated_slots()
+    centers = np.asarray(voxel_centers_for_blocks(
+        jnp.asarray(m.table.block_indices[slots]), VOXEL))
+    rad = np.linalg.norm(centers[..., :2], axis=-1)
+    # inverse-square weighting at r=3 m gives w ~= 1/9 per scan.
+    near = (np.abs(rad - 3.0) < 0.05) & (w[slots] > 0.05) \
+        & (np.abs(centers[..., 2] - 1.0) < 0.4)
+    assert near.sum() > 100
+    assert np.median(np.abs(d[slots][near])) < 2 * VOXEL
+
+
+def test_ground_plane_estimator():
+    from isaac_ros_nvblox_tpu.mapper.mapper import Mapper
+    from isaac_ros_nvblox_tpu.models.scene import Plane
+    # Scene: a floor plane at z=0 (normal +z).
+    scene = Scene(primitives=(Plane(normal=(0, 0, 1), offset=0.0),))
+    mapper = Mapper(voxel_size_m=VOXEL, capacity=4096, enable_color=False,
+                    enable_esdf=False)
+    # Camera above looking down-forward.
+    for k in range(2):
+        T = orbit_pose(0.3 * k, radius=1.5, height=1.2, target=(0.5, 0, 0))
+        depth = render_depth(scene, CAM, jnp.asarray(T))
+        mapper.integrate_depth(depth, T, CAM)
+    est = GroundPlaneEstimator()
+    plane = est.estimate(mapper)
+    assert plane is not None
+    # Fit should be near z = 0: small coefficients, height near 0.
+    assert abs(plane.height_at(0.5, 0.0)) < 0.08
+    n = plane.normal()
+    assert n[2] > 0.95
