@@ -201,10 +201,10 @@ class DeviceMapper:
             self.channels["color_weight"] = jnp.zeros(
                 (cap, VOXELS_PER_BLOCK), jnp.float32)
         if enable_esdf:
-            self.channels["esdf_site"] = jnp.zeros(
-                (cap, VOXELS_PER_BLOCK, 3), jnp.float32)
             # Packed block-relative sites (one i32/voxel) — the TPU sweep's
             # working representation (3x less halo traffic than f32 SoA).
+            # The f32 SoA channel used by the XLA fallback is allocated
+            # lazily on first use (saves 3 channels of pool memory on TPU).
             self.channels["esdf_site_packed"] = jnp.full(
                 (cap, VOXELS_PER_BLOCK), -1, jnp.int32)
             self.channels["esdf_sq_dist"] = jnp.full(
@@ -311,7 +311,7 @@ class DeviceMapper:
         in between warm-start from the previous site field with
         `warm_n_outer` sweeps. Pass `full=True/False` to force either.
         """
-        if "esdf_site" not in self.channels:
+        if "esdf_site_packed" not in self.channels:
             return
         ep = self.params.esdf
         if refresh_count:
@@ -356,6 +356,9 @@ class DeviceMapper:
         self.channels["esdf_observed"] = observed
         slots, bidx, _ = wg.allocated_batch(self.state, max_blocks=bucket)
         nbrs = wg.neighbor_slots_of(self.state, bidx)
+        if "esdf_site" not in self.channels:  # lazy f32 fallback channel
+            self.channels["esdf_site"] = jnp.zeros(
+                (self.capacity, VOXELS_PER_BLOCK, 3), jnp.float32)
         site, sq = esdf_ops.init_esdf_from_sites(
             self.channels["esdf_site"], self.channels["esdf_sq_dist"],
             is_site, self.state.block_index_of_slot)

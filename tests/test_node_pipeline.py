@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from isaac_ros_nvblox_tpu.mapper.params import make_params
 from isaac_ros_nvblox_tpu.models.camera import Camera
-from isaac_ros_nvblox_tpu.models.scene import (default_test_scene, orbit_pose,
+from isaac_ros_nvblox_tpu.models.scene import (Scene, Sphere, orbit_pose,
                                                render_color, render_depth)
 from isaac_ros_nvblox_tpu.runtime.adapters import MeshLayerAdapter
 from isaac_ros_nvblox_tpu.runtime.costmap import NvbloxCostmapLayer
@@ -37,8 +37,9 @@ def test_full_pipeline_publishes_everything(tmp_path):
     node.bus.subscribe("~/mesh_serialized", adapter_out.append)
     costmap = NvbloxCostmapLayer(node.bus)
 
-    scene = default_test_scene()
-    for k in range(4):
+    # A small sphere keeps the block count (and CPU ESDF cost) low.
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
+    for k in range(3):
         stamp = k * 0.2
         T = orbit_pose(2 * np.pi * k / 12)
         depth = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
@@ -68,7 +69,7 @@ def test_full_pipeline_publishes_everything(tmp_path):
 def test_rate_gates_limit_processing():
     node, t = _make_node()
     node.params.integrate_depth_rate_hz = 1.0  # only 1 Hz allowed
-    scene = default_test_scene()
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
     T = orbit_pose(0.0)
     depth = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
     processed_blocks = []

@@ -11,6 +11,8 @@ from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.models.scene import (Scene, Sphere, orbit_pose,
                                                render_depth)
+from isaac_ros_nvblox_tpu.mapper.params import MapperParams
+from isaac_ros_nvblox_tpu.ops.esdf import EsdfIntegratorParams
 from isaac_ros_nvblox_tpu.parallel.sharded_mapper import (ShardedDeviceMapper,
                                                           ShardedMapperConfig)
 from isaac_ros_nvblox_tpu.parallel.spatial import make_spatial_mesh
@@ -38,7 +40,7 @@ def test_sharded_matches_single_device_tsdf():
     mesh = make_spatial_mesh(8)
     cfg = ShardedMapperConfig(
         n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
-        capacity_per_shard=2048, voxel_size_m=VOXEL,
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
         max_blocks_per_frame=1024)
     sharded = ShardedDeviceMapper(mesh, CAM, cfg)
     single = DeviceMapper(
@@ -85,11 +87,12 @@ def test_sharded_esdf_crosses_boundaries():
     mesh = make_spatial_mesh(8)
     cfg = ShardedMapperConfig(
         n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
-        capacity_per_shard=2048, voxel_size_m=VOXEL,
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
         max_blocks_per_frame=1024)
-    sharded = ShardedDeviceMapper(mesh, CAM, cfg)
+    params = MapperParams(esdf=EsdfIntegratorParams(max_esdf_distance_m=1.0))
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg, params)
     single = DeviceMapper(
-        voxel_size_m=VOXEL,
+        voxel_size_m=VOXEL, params=params,
         world=wg.WorldGridConfig(dims=(64, 32, 16), capacity=8192,
                                  origin_block=(-32, -16, -4)),
         enable_color=False, enable_esdf=True, max_blocks_per_frame=4096)
