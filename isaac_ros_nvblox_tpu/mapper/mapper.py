@@ -99,6 +99,7 @@ class Mapper:
 
         self.pool = BlockPool(self.table, specs, init)
         self.mesh_layer = MeshLayer(self.voxel_size_m, self.params.mesh)
+        self.last_meshed_keys: list = []
         self._mesh_dirty: Set[int] = set()       # slots
         self._cleared_blocks: list = []           # indices removed since last mesh
         self._last_freespace_update_ms: float = 0.0
@@ -252,10 +253,14 @@ class Mapper:
             self.mesh_layer.remove_blocks(self._cleared_blocks)
             self._cleared_blocks = []
         if not dirty:
+            self.last_meshed_keys = []
             return 0
         with Timer(f"{self.name}/update_mesh"):
             mesh_dirty_blocks(self.mesh_layer, self.pool, self.table,
                               np.asarray(sorted(dirty), np.int32))
+        self.last_meshed_keys = [
+            tuple(k) for k in
+            self.table.block_indices[np.asarray(sorted(dirty))].tolist()]
         self._mesh_dirty.clear()
         return len(dirty)
 

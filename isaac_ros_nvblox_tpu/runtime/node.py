@@ -57,6 +57,8 @@ class NodeParams:
     map_clearing_radius_m: float = -1.0  # <0 disables
     map_clearing_frame_id: str = "base_link"
     publish_layer_rate_hz: float = 5.0
+    # Parity: layer_streamer_bandwidth_limit_mbps (node_params.hpp).
+    layer_streamer_bandwidth_limit_mbps: float = 30.0
 
 
 @dataclasses.dataclass
@@ -108,6 +110,7 @@ class NvbloxNode:
         self.pointcloud_queue: DropOldestQueue = DropOldestQueue("pointcloud", q)
         self.service_queue = ServiceRequestQueue()
         self._published_mesh_blocks: set = set()
+        self._mesh_streamer = None  # created lazily (needs voxel size)
         self.tick_count = 0
 
     # ------------------------------------------------------------- callbacks
@@ -266,14 +269,31 @@ class NvbloxNode:
             static_mapper.update_mesh()
         Rates.tick("node/mesh")
         mesh_layer = static_mapper.mesh_layer
-        blocks = []
         current = set(mesh_layer.blocks.keys())
-        for key, mb in mesh_layer.blocks.items():
-            blocks.append(MeshBlockMsg(
-                index=Index3D(*key), vertices=mb.vertices, colors=mb.colors,
-                triangles=mb.triangles))
+        # Budgeted incremental publishing (parity: serializeSelectedLayers'
+        # bandwidth limit + proximity prioritization): never-yet-published
+        # blocks queue through the streamer; removals always go out.
+        if self._mesh_streamer is None:
+            from isaac_ros_nvblox_tpu.runtime.layer_streaming import (
+                LayerStreamer, StreamingParams)
+            self._mesh_streamer = LayerStreamer(
+                block_size_m=static_mapper.voxel_size_m * 8,
+                params=StreamingParams(
+                    bandwidth_mbps=self.params
+                    .layer_streamer_bandwidth_limit_mbps),
+                clock=self.clock)
+        never_published = current - self._published_mesh_blocks
+        remeshed = set(getattr(static_mapper, "last_meshed_keys", []))
+        self._mesh_streamer.mark_dirty(never_published | (remeshed & current))
+        selected = self._mesh_streamer.select_blocks()
+        blocks = [MeshBlockMsg(index=Index3D(*key),
+                               vertices=mesh_layer.blocks[key].vertices,
+                               colors=mesh_layer.blocks[key].colors,
+                               triangles=mesh_layer.blocks[key].triangles)
+                  for key in selected if key in mesh_layer.blocks]
         removed = [Index3D(*k) for k in self._published_mesh_blocks - current]
-        self._published_mesh_blocks = current
+        self._published_mesh_blocks |= set(selected)
+        self._published_mesh_blocks &= current
         msg = MeshMsg(
             header=Header(stamp_s=self.clock(),
                           frame_id=self.params.global_frame),

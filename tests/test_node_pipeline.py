@@ -84,3 +84,66 @@ def test_rate_gates_limit_processing():
     # Only the first frame within the 1 Hz window integrates.
     from isaac_ros_nvblox_tpu.utils.timing import Rates
     assert processed_blocks[-1] == processed_blocks[0]
+
+
+def test_multi_camera_and_lidar_inputs():
+    """Two cameras with different intrinsics plus a lidar scan feed one map
+    (reference parity: multi-camera NITROS subs + pointcloud sub)."""
+    node, t = _make_node()
+    cam2 = Camera(fx=90.0, fy=90.0, cx=44.5, cy=34.5, width=90, height=70)
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
+    T = orbit_pose(0.0)
+    T2 = orbit_pose(np.pi / 2)
+    d1 = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
+    d2 = np.asarray(render_depth(scene, cam2, jnp.asarray(T2)))
+    node.add_pose("cam_a", 0.0, T)
+    node.add_pose("cam_b", 0.0, T2)
+    node.add_depth_image(d1, CAM, "cam_a", 0.0)
+    node.add_depth_image(d2, cam2, "cam_b", 0.0)
+    t[0] = 0.01
+    node.tick()
+    n_after_cams = node.multi_mapper.static_mapper.table.num_allocated
+    assert n_after_cams > 0
+
+    # Lidar scan: ring of points at 2 m.
+    az = np.linspace(-np.pi, np.pi, 512, endpoint=False)
+    pts = np.stack([2.0 * np.cos(az), 2.0 * np.sin(az),
+                    np.zeros_like(az)], 1).astype(np.float32)
+    T_l = np.eye(4, dtype=np.float32)
+    T_l[2, 3] = 1.0
+    node.add_pose("lidar", 0.05, T_l)
+    node.add_pointcloud(pts, "lidar", 0.05)
+    t[0] = 0.06
+    node.tick()
+    assert node.multi_mapper.static_mapper.table.num_allocated > n_after_cams
+
+
+def test_mesh_streaming_respects_budget():
+    """With a tiny bandwidth limit, mesh messages carry few blocks per
+    publish and the backlog drains over successive publishes."""
+    node, t = _make_node()
+    node.params.layer_streamer_bandwidth_limit_mbps = 1.0  # ~1 block/0.13s
+    msgs = []
+    node.bus.subscribe("~/mesh", msgs.append)
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
+    T = orbit_pose(0.0)
+    depth = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
+    node.add_pose("cam", 0.0, T)
+    node.add_depth_image(depth, CAM, "cam", 0.0)
+    t[0] = 0.01
+    node.tick()
+    t[0] = 0.3
+    node.tick()  # first mesh publish (budget-limited)
+    assert msgs
+    first_blocks = len(msgs[-1].blocks)
+    total_mesh_blocks = len(
+        node.multi_mapper.static_mapper.mesh_layer.blocks)
+    assert 0 < first_blocks < total_mesh_blocks  # budget clipped the set
+    # Subsequent publishes drain the backlog.
+    for k in range(30):
+        t[0] = 0.3 + 0.2 * (k + 1)
+        node.tick()
+    published = set()
+    for m in msgs:
+        published |= {(b.index.x, b.index.y, b.index.z) for b in m.blocks}
+    assert len(published) == total_mesh_blocks
