@@ -166,12 +166,27 @@ class Mapper:
             depth = jnp.zeros((1, 1), jnp.float32)  # disables occlusion check
         else:
             depth = jnp.asarray(depth, jnp.float32)
-        # Color only touches existing surface blocks: reuse blocks in view of
-        # the color camera from the allocated set (no new allocation).
-        slots_np = self.table.allocated_slots()
+        # Color only touches existing surface blocks inside the color
+        # camera's frustum (no new allocation): run the view test and keep
+        # the already-allocated subset.
+        if depth.shape[0] > 1:
+            view_depth = depth
+        else:
+            view_depth = jnp.full((camera.height, camera.width),
+                                  p.max_integration_distance_m, jnp.float32)
+        idx_view = view_ops.blocks_in_view(
+            view_depth, T_L_C, camera=camera, voxel_size_m=self.voxel_size_m,
+            max_distance_m=p.max_integration_distance_m,
+            truncation_m=p.truncation_m(self.voxel_size_m),
+            params=self.params.view)
+        slots_np = np.asarray(
+            [self.table.slot_of(tuple(b)) for b in idx_view.tolist()],
+            np.int32)
+        keep = slots_np >= 0
+        slots_np = slots_np[keep]
         if slots_np.size == 0:
             return 0
-        idx_np = self.table.block_indices[slots_np]
+        idx_np = idx_view[keep]
         slots_d, idx_d = _padded_batch(self.table, slots_np, idx_np)
         with Timer(f"{self.name}/integrate_color/kernel"):
             c, w = color_kernel(
