@@ -4,12 +4,15 @@ Mirrors the reference's headline benchmark (BASELINE.md: per-frame GPU
 component times during dataset replay at 0.05 m voxels; RTX 3090 reference:
 TSDF 0.5 ms + ESDF 0.8 ms => ~769 fps equivalent). Replays a synthetic
 Replica-like room sequence (VGA depth) through the fully device-resident
-pipeline (DeviceMapper: on-device block allocation, zero host round trips)
-and reports frames/s for TSDF-integrate + ESDF-update, steady state.
+pipeline (DeviceMapper: on-device block allocation, zero host round trips).
 
-Timing methodology: dispatch N frames asynchronously, block_until_ready at
-the end, divide — measuring true device throughput the way the reference's
-CUDA event timers measure kernel time (not host call overhead).
+Timing methodology: the reference's numbers are CUDA-event kernel times —
+no per-frame host overhead. The equivalent here is `replay_frames`: the
+whole N-frame loop runs inside ONE compiled program (lax.scan), so the
+tunneled relay's multi-millisecond per-dispatch cost is paid once per
+replay, and the measured time is true device throughput. Component times
+come from cadence differencing: replay with ESDF (or mesh) every frame
+minus TSDF-only replay.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...extras}
@@ -30,7 +33,7 @@ def _barrier(*arrays):
     import jax.numpy as jnp
     total = 0.0
     for a in arrays:
-        total += float(jnp.sum(a[..., :1].astype(jnp.float32)))
+        total += float(jnp.sum(jnp.atleast_1d(a)[..., :1].astype(jnp.float32)))
     return total
 
 
@@ -49,76 +52,80 @@ def main():
                     width=640, height=480)
     scene = default_test_scene()
     voxel_size = 0.05
-    n_frames = 20
-    warmup = 4
-    timed = n_frames - warmup
+    n_frames = 16
 
     # Pre-render the trajectory on device (not part of the timed pipeline).
-    frames = []
+    depths, poses = [], []
     for k in range(n_frames):
         T = jnp.asarray(orbit_pose(2 * np.pi * k / n_frames))
         depth = render_depth(scene, camera, T)
         depth.block_until_ready()
-        frames.append((depth, T))
+        depths.append(depth)
+        poses.append(T)
+    depths = jnp.stack(depths)
+    poses = jnp.stack(poses)
 
     mapper = DeviceMapper(
         voxel_size_m=voxel_size,
         world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
                               origin_block=(-32, -32, -8)),
         enable_color=False, enable_esdf=True,
-        max_blocks_per_frame=4096)
+        max_blocks_per_frame=2048)
 
-    # Warmup: populate the map + trigger ALL compilations (both the cold
-    # and warm ESDF variants and the dirty-mesh kernel) so the timed region
-    # is execution only.
-    for depth, T in frames[:warmup]:
-        mapper.integrate_depth(depth, T, camera)
-    mapper.refresh_count()
-    mapper.update_esdf(refresh_count=False, full=True)
-    mapper.update_esdf(refresh_count=False, full=False)
-    v, _, _, _ = mapper.update_mesh_dirty_device()
-    _barrier(mapper.channels["esdf_sq_dist"], v)
-    mapper.refresh_count()  # lock in the bucket size for the timed region
+    # Warmup: build the map once (fixes the allocated AABB -> static ESDF
+    # region) and trigger all compilations so timed runs are execution only.
+    _barrier(mapper.replay_frames(depths, poses, camera))
+    region = mapper.esdf_region()
+    _barrier(mapper.replay_frames(depths, poses, camera, esdf_every=1,
+                                  esdf_region=region))
+    _barrier(mapper.replay_frames(depths, poses, camera, mesh_every=1))
+    n_blocks = mapper.block_count()
 
-    # --- TSDF integrate: async dispatch, scalar-fetch barrier at the end. ---
-    t0 = time.perf_counter()
-    for depth, T in frames[warmup:]:
-        mapper.integrate_depth(depth, T, camera)
-    _barrier(mapper.channels["tsdf_distance"], mapper.channels["tsdf_weight"])
-    tsdf_ms = (time.perf_counter() - t0) * 1e3 / timed
+    def timed(reps=3, **kw):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _barrier(mapper.replay_frames(depths, poses, camera, **kw))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3 / n_frames
 
-    # --- ESDF update: fixed-sweep device loop. ---
-    n_esdf = 4
-    t0 = time.perf_counter()
-    for _ in range(n_esdf):
-        mapper.update_esdf(refresh_count=False)
-    _barrier(mapper.channels["esdf_sq_dist"])
-    esdf_ms = (time.perf_counter() - t0) * 1e3 / n_esdf
+    # --- component times via cadence differencing (per frame / update). ---
+    tsdf_ms = timed()
+    esdf_ms = max(timed(esdf_every=1, esdf_region=region) - tsdf_ms, 0.0)
+    mesh_ms = max(timed(mesh_every=1) - tsdf_ms, 0.0)
 
-    # --- Mesh (incremental): device marching cubes over dirty blocks,
-    # measured per frame like the reference's mesh component time. ---
-    mapper.update_mesh_dirty_device()  # clear backlog + compile
-    n_mesh = 4
-    t0 = time.perf_counter()
-    for depth, T in frames[warmup:warmup + n_mesh]:
-        mapper.integrate_depth(depth, T, camera)
-        verts, _, valid, _ = mapper.update_mesh_dirty_device()
-    _barrier(verts)
-    t_int_mesh = (time.perf_counter() - t0) * 1e3 / n_mesh
-    mesh_ms = max(t_int_mesh - tsdf_ms, 0.0)
+    # Pipeline at the reference's operational cadence (nvblox_base.yaml:
+    # depth 40 Hz, ESDF 10 Hz, mesh 5 Hz -> ESDF every 4th, mesh every 8th).
+    t_pipe = timed(esdf_every=4, esdf_region=region, mesh_every=8)
+    pipeline_fps = 1000.0 / t_pipe
 
+    # Incremental ESDF (the node's online path): dirty-region updates,
+    # measured as a pipelined loop difference so the one-off barrier sync
+    # (~30 ms through the relay) cancels out. Poses are passed as host
+    # arrays like the node does, keeping the update fully sync-free.
+    poses_np = [np.asarray(p) for p in poses]
+
+    def eager_loop(with_esdf: bool, k_frames: int = 8) -> float:
+        mapper.update_esdf(full=True)  # drain + compile
+        _barrier(mapper.channels["esdf_sq_dist"])
+        t0 = time.perf_counter()
+        for k in range(k_frames):
+            mapper.integrate_depth(depths[k], poses_np[k], camera)
+            if with_esdf:
+                mapper.update_esdf()
+        _barrier(mapper.channels["tsdf_distance"],
+                 mapper.channels["esdf_sq_dist"])
+        return (time.perf_counter() - t0) * 1e3 / k_frames
+
+    eager_loop(True)  # compile the incremental-dims variants
+    base = eager_loop(False)
+    esdf_incr_ms = max(eager_loop(True) - base, 0.0)
 
     fps = 1000.0 / (tsdf_ms + esdf_ms)
-    # Effective pipeline rate at the reference's operational cadences
-    # (nvblox_base.yaml: depth 40 Hz, ESDF 10 Hz, mesh 5 Hz -> ESDF every
-    # 4th frame, mesh every 8th at 40 fps input).
-    pipeline_fps = 1000.0 / (tsdf_ms + esdf_ms / 4.0 + mesh_ms / 8.0)
 
     # --- Accuracy vs the analytic scene (reconstruction parity check). ---
-    from isaac_ros_nvblox_tpu.core import world_grid as wgmod
     from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
     from isaac_ros_nvblox_tpu.ops.esdf import INF_SQ
-    n_blocks = mapper.block_count()
     slots_np = np.arange(n_blocks, dtype=np.int32)
     bidx_np = np.asarray(mapper.state.block_index_of_slot)[:n_blocks]
     centers = voxel_centers_for_blocks(jnp.asarray(bidx_np), voxel_size)
@@ -146,10 +153,11 @@ def main():
         "pipeline_fps_at_ref_cadence": round(pipeline_fps, 2),
         "tsdf_ms": round(tsdf_ms, 3),
         "esdf_ms": round(esdf_ms, 3),
-        "mesh_ms": round(mesh_ms, 2),
+        "esdf_incremental_ms": round(esdf_incr_ms, 3),
+        "mesh_ms": round(mesh_ms, 3),
         "tsdf_mae_m": round(tsdf_mae, 4),
         "esdf_mae_m": round(esdf_mae, 4),
-        "allocated_blocks": mapper.block_count(),
+        "allocated_blocks": n_blocks,
         "device": str(jax.devices()[0]),
     }))
 

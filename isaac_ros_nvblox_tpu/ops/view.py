@@ -158,6 +158,33 @@ def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
     return touched.reshape(G, G, G), origin_block
 
 
+def frustum_block_aabb(T_L_C_np: np.ndarray, camera: Camera,
+                       max_distance_m: float, voxel_size_m: float,
+                       margin_blocks: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side conservative block AABB of a view (covers touched_block_grid).
+
+    Pure numpy on the (host) pose — used to track dirty/allocated regions
+    without any device->host sync (a tiny readback costs ~30 ms through a
+    tunneled TPU relay, so the hot path must never depend on one).
+    """
+    bs = block_size_m(voxel_size_m)
+    T = np.asarray(T_L_C_np, np.float64)
+    # Frustum corner rays at the far plane + the camera origin.
+    us = np.array([0.0, camera.width - 1.0])
+    vs = np.array([0.0, camera.height - 1.0])
+    corners = [T[:3, 3]]
+    for u in us:
+        for v in vs:
+            ray = np.array([(u - camera.cx) / camera.fx,
+                            (v - camera.cy) / camera.fy, 1.0])
+            ray_l = T[:3, :3] @ ray
+            corners.append(T[:3, 3] + ray_l * max_distance_m)
+    corners = np.asarray(corners)
+    lo = np.floor(corners.min(axis=0) / bs).astype(np.int64) - margin_blocks
+    hi = np.floor(corners.max(axis=0) / bs).astype(np.int64) + margin_blocks
+    return lo, hi
+
+
 def blocks_in_view(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
                    max_distance_m: float, truncation_m: float,
                    params: Optional[ViewCalculatorParams] = None) -> np.ndarray:

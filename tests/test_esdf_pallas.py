@@ -90,37 +90,3 @@ def test_pallas_kernel_propagates_distance():
     assert (gx == 0.0).all()
     # Other blocks untouched (no sites, no halo connectivity in this test).
     assert (np.asarray(got[0])[1, :ep.V] == ep.SENTINEL).all()
-
-
-def test_packed_sweeps_match_f32_path():
-    """The packed-site ESDF must produce the same distances as the f32 path."""
-    from isaac_ros_nvblox_tpu.core import world_grid as wg
-    from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
-    from isaac_ros_nvblox_tpu.models.camera import Camera
-    from isaac_ros_nvblox_tpu.models.scene import Scene, Sphere, orbit_pose, render_depth
-
-    CAM = Camera(fx=120.0, fy=120.0, cx=59.5, cy=44.5, width=120, height=90)
-    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.2), radius=0.5),))
-    kwargs = dict(voxel_size_m=0.05,
-                  world=wg.WorldGridConfig(dims=(64, 64, 32), capacity=2048,
-                                           origin_block=(-32, -32, -8)),
-                  enable_color=False, enable_esdf=True)
-    a = DeviceMapper(**kwargs)  # XLA f32 path
-    b = DeviceMapper(**kwargs)  # packed pallas path (interpret on CPU)
-    T = orbit_pose(0.0, radius=2.0, height=1.2, target=(0, 0, 1.2))
-    depth = render_depth(scene, CAM, jnp.asarray(T))
-    a.integrate_depth(depth, T, CAM)
-    b.integrate_depth(depth, T, CAM)
-    a.update_esdf(use_pallas=False)
-    b.update_esdf(use_pallas=True, full=True)
-    n = a.block_count()
-    sq_a = np.asarray(a.channels["esdf_sq_dist"])[:n]
-    sq_b = np.asarray(b.channels["esdf_sq_dist"])[:n]
-    resolved = (sq_a < 1e11) | (sq_b < 1e11)
-    assert resolved.sum() > 1000
-    np.testing.assert_allclose(sq_a[resolved], sq_b[resolved], atol=1e-3)
-
-    # Warm update converges to the same result when nothing changed.
-    b.update_esdf(use_pallas=True, full=False)
-    sq_b2 = np.asarray(b.channels["esdf_sq_dist"])[:n]
-    np.testing.assert_allclose(sq_b2[resolved], sq_a[resolved], atol=1e-3)

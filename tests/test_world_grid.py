@@ -156,24 +156,75 @@ def test_device_mapper_mesh_export():
     assert np.abs(np.median(r) - 0.5) < 0.05
 
 
-def test_device_mapper_esdf_pallas_matches_xla():
-    """The Pallas ESDF path must agree with the XLA sweep end-to-end."""
+def test_device_mapper_esdf_matches_dense_reference():
+    """update_esdf (dense banded EDT) must equal the numpy reference EDT."""
+    from isaac_ros_nvblox_tpu.mapper.params import MapperParams
+    from isaac_ros_nvblox_tpu.ops import esdf as esdf_ops
+    from isaac_ros_nvblox_tpu.ops import esdf_dense as ed
+
     scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.5), radius=0.5),))
-    kwargs = dict(voxel_size_m=VOXEL,
-                  world=wg.WorldGridConfig(dims=(64, 64, 32), capacity=2048,
-                                           origin_block=(-32, -32, -8)),
-                  enable_color=False, enable_esdf=True)
-    a = DeviceMapper(**kwargs)
-    b = DeviceMapper(**kwargs)
+    import dataclasses
+    from isaac_ros_nvblox_tpu.ops.esdf import EsdfIntegratorParams
+    params = MapperParams(
+        esdf=EsdfIntegratorParams(max_esdf_distance_m=0.6))  # band 12
+    dev = DeviceMapper(voxel_size_m=VOXEL, params=params,
+                       world=wg.WorldGridConfig(dims=(64, 64, 32),
+                                                capacity=2048,
+                                                origin_block=(-32, -32, -8)),
+                       enable_color=False, enable_esdf=True)
     T = orbit_pose(0.0, radius=2.0, height=1.5, target=(0, 0, 1.5))
     depth = render_depth(scene, CAM, jnp.asarray(T))
-    a.integrate_depth(depth, T, CAM)
-    b.integrate_depth(depth, T, CAM)
-    a.update_esdf(use_pallas=False)
-    b.update_esdf(use_pallas=True)  # interpret mode on CPU
-    n = a.block_count()
-    sq_a = np.asarray(a.channels["esdf_sq_dist"])[:n]
-    sq_b = np.asarray(b.channels["esdf_sq_dist"])[:n]
-    resolved = (sq_a < 1e11) | (sq_b < 1e11)
+    dev.integrate_depth(depth, T, CAM)
+    dev.update_esdf()
+    n = dev.block_count()
+    sq = np.asarray(dev.channels["esdf_sq_dist"])
+
+    # Reference: numpy dense EDT over the same sites/region.
+    band = dev.esdf_band_vox
+    is_site, _, _ = esdf_ops.esdf_sites_from_tsdf(
+        dev.channels["tsdf_distance"], dev.channels["tsdf_weight"],
+        voxel_size_m=jnp.float32(VOXEL),
+        max_site_distance_vox=float(params.esdf.max_site_distance_vox),
+        min_weight=float(params.esdf.min_weight))
+    bidx = np.asarray(dev.state.block_index_of_slot)
+    origin = bidx[:n].min(axis=0)
+    dims_b = tuple(
+        int(np.ceil((e + 1) / 8) * 8)
+        for e in (bidx[:n].max(axis=0) - origin))
+    ref = ed.esdf_from_sites_reference(
+        np.asarray(is_site), bidx - origin, n, dims_b, band)
+    resolved = sq[:n] < 1e11
     assert resolved.sum() > 1000
-    np.testing.assert_allclose(sq_a[resolved], sq_b[resolved], atol=1e-3)
+    np.testing.assert_allclose(sq[:n][resolved], ref[:n][resolved],
+                               atol=1e-3)
+
+
+def test_device_mapper_esdf_incremental_matches_full():
+    """A dirty-region incremental update must equal a full re-solve."""
+    from isaac_ros_nvblox_tpu.mapper.params import MapperParams
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.5), radius=0.5),))
+    from isaac_ros_nvblox_tpu.ops.esdf import EsdfIntegratorParams
+    params = MapperParams(
+        esdf=EsdfIntegratorParams(max_esdf_distance_m=0.6))
+    kwargs = dict(voxel_size_m=VOXEL, params=params,
+                  world=wg.WorldGridConfig(dims=(64, 64, 32), capacity=4096,
+                                           origin_block=(-32, -32, -8)),
+                  enable_color=False, enable_esdf=True)
+    inc = DeviceMapper(**kwargs)
+    full = DeviceMapper(**kwargs)
+    for k in range(3):
+        T = orbit_pose(2 * np.pi * k / 8, radius=2.0, height=1.5,
+                       target=(0, 0, 1.5))
+        depth = render_depth(scene, CAM, jnp.asarray(T))
+        inc.integrate_depth(depth, T, CAM)
+        full.integrate_depth(depth, T, CAM)
+        inc.update_esdf()          # full on k=0, incremental after
+    full.update_esdf(full=True)
+    n = full.block_count()
+    sq_i = np.asarray(inc.channels["esdf_sq_dist"])[:n]
+    sq_f = np.asarray(full.channels["esdf_sq_dist"])[:n]
+    np.testing.assert_array_equal(sq_i, sq_f)
+    # No-op update when nothing is dirty.
+    inc.update_esdf()
+    np.testing.assert_array_equal(
+        np.asarray(inc.channels["esdf_sq_dist"])[:n], sq_f)

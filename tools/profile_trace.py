@@ -64,7 +64,7 @@ def main():
                     Timer("trace/integrate_depth"):
                 mapper.integrate_depth(d, T, camera)
             with jax.named_scope("nvblox/esdf"), Timer("trace/esdf"):
-                mapper.update_esdf(refresh_count=False)
+                mapper.update_esdf()
             with jax.named_scope("nvblox/mesh"), Timer("trace/mesh"):
                 mapper.update_mesh_dirty_device()
         jax.block_until_ready(mapper.channels["esdf_sq_dist"])
