@@ -45,19 +45,26 @@ def main():
     from isaac_ros_nvblox_tpu.core.world_grid import WorldGridConfig
     from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
     from isaac_ros_nvblox_tpu.models.camera import Camera
-    from isaac_ros_nvblox_tpu.models.scene import (default_test_scene,
-                                                   orbit_pose, render_depth)
+    from isaac_ros_nvblox_tpu.models.scene import (Box, RoomBox, Scene,
+                                                   Sphere, orbit_pose,
+                                                   render_depth)
 
     camera = Camera(fx=500.0, fy=500.0, cx=319.5, cy=239.5,
                     width=640, height=480)
-    scene = default_test_scene()
+    # Replica-office-scale room (office0 is ~6 x 4 x 3 m), so the whole
+    # scene sits within the reference's 5 m integration range.
+    scene = Scene(primitives=(
+        RoomBox(center=(0.0, 0.0, 1.5), half_extents=(3.0, 2.2, 1.5)),
+        Sphere(center=(1.2, 0.8, 1.0), radius=0.5),
+        Box(center=(-1.5, -1.0, 0.4), half_extents=(0.4, 0.4, 0.4)),
+    ))
     voxel_size = 0.05
     n_frames = 16
 
     # Pre-render the trajectory on device (not part of the timed pipeline).
     depths, poses = [], []
     for k in range(n_frames):
-        T = jnp.asarray(orbit_pose(2 * np.pi * k / n_frames))
+        T = jnp.asarray(orbit_pose(2 * np.pi * k / n_frames, radius=1.5))
         depth = render_depth(scene, camera, T)
         depth.block_until_ready()
         depths.append(depth)
@@ -65,8 +72,14 @@ def main():
     depths = jnp.stack(depths)
     poses = jnp.stack(poses)
 
+    # Parity with the reference's operational config: nvblox_base.yaml:76
+    # runs projective integration to 5.0 m (the library default is 7.0 m).
+    from isaac_ros_nvblox_tpu.mapper.params import MapperParams
+    from isaac_ros_nvblox_tpu.ops.tsdf import TsdfIntegratorParams
+    params = MapperParams(
+        projective=TsdfIntegratorParams(max_integration_distance_m=5.0))
     mapper = DeviceMapper(
-        voxel_size_m=voxel_size,
+        voxel_size_m=voxel_size, params=params,
         world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
                               origin_block=(-32, -32, -8)),
         enable_color=False, enable_esdf=True,

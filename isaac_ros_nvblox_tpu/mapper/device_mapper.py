@@ -37,7 +37,6 @@ from isaac_ros_nvblox_tpu.mapper.params import MapperParams
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops import esdf as esdf_ops
 from isaac_ros_nvblox_tpu.ops import view as view_ops
-from isaac_ros_nvblox_tpu.ops.color import integrate_color as color_kernel
 from isaac_ros_nvblox_tpu.ops.mesh import (MeshLayer, marching_cubes_blocks)
 from isaac_ros_nvblox_tpu.ops.tsdf import integrate_tsdf
 
@@ -133,29 +132,62 @@ def _esdf_dense_fused(state, tsdf_distance, tsdf_weight, old_sq, origin_b,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("voxel_size_m", "min_weight",
-                                    "max_blocks", "interpret"))
-def _mesh_dirty_fused(state, dirty, tsdf_distance, tsdf_weight, *,
-                      voxel_size_m: float, min_weight: float,
-                      max_blocks: int, interpret: bool):
-    """compact dirty -> neighbors -> corner stacks -> Pallas MC, one program."""
-    from isaac_ros_nvblox_tpu.ops.mesh_pallas import (corner_stacks,
-                                                      marching_cubes_pallas)
+                   static_argnames=("min_weight", "max_blocks", "with_color",
+                                    "interpret"))
+def _mesh_dirty_fused(state, dirty, tsdf_distance, tsdf_weight, color_rows, *,
+                      min_weight: float, max_blocks: int, with_color: bool,
+                      interpret: bool):
+    """compact dirty -> neighbors -> fused Pallas MC (in-kernel halo).
+
+    Returns (verts_local bf16[N,3,16,512], colors bf16|None, bidx). Vertex
+    coordinates are block-local voxel units; empty slots carry -1 (see
+    ops/mesh_pallas.py)."""
+    from isaac_ros_nvblox_tpu.ops.mesh_pallas import (NEIGHBOR_COLS,
+                                                      marching_cubes_fused)
     cap = tsdf_distance.shape[0]
     slots, bidx = _compact_dirty_impl(state, dirty, max_blocks=max_blocks)
     nbrs = wg.neighbor_slots_of(state, bidx)
-    cd, cw = corner_stacks(tsdf_distance.reshape(cap, B, B, B),
-                           tsdf_weight.reshape(cap, B, B, B), nbrs)
-    verts, mask = marching_cubes_pallas(
-        cd, cw, bidx, (slots < cap).astype(jnp.int32),
-        voxel_size_m=voxel_size_m, min_weight=min_weight,
-        interpret=interpret)
-    return verts, mask, bidx
+    nbr8 = nbrs[:, jnp.asarray(NEIGHBOR_COLS)]
+    verts, colors = marching_cubes_fused(
+        tsdf_distance, tsdf_weight, color_rows, nbr8,
+        (slots < cap).astype(jnp.int32), min_weight=min_weight,
+        with_color=with_color, interpret=interpret)
+    return verts, colors, bidx
 
 
 def _bucket_blocks(n: int, mult: int = 8) -> int:
     """Round a region extent (blocks) up to a bucket to bound recompiles."""
     return max(((n + mult - 1) // mult) * mult, mult)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("camera", "voxel_size_m", "params",
+                                    "max_blocks", "subsample"),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def _integrate_color_fused(color_r, color_g, color_b, color_weight, dirty,
+                           tsdf_distance, tsdf_weight, state, color_image,
+                           depth, T_L_C, *, camera: Camera,
+                           voxel_size_m: float, params, max_blocks: int,
+                           subsample: int):
+    """color view batch -> planar color fusion -> mesh-dirty, one program.
+
+    Batch = blocks in the color frustum (no allocation): a max-distance
+    pseudo-depth covers the whole view."""
+    from isaac_ros_nvblox_tpu.ops.color import integrate_color_planar
+    grid, origin = view_ops.touched_block_grid(
+        jnp.full((camera.height, camera.width),
+                 params.max_integration_distance_m, jnp.float32),
+        T_L_C, camera=camera, voxel_size_m=voxel_size_m,
+        max_distance_m=params.max_integration_distance_m,
+        truncation_m=params.truncation_m(voxel_size_m), subsample=subsample)
+    slots, bidx, _ = wg.view_batch(state, grid, origin,
+                                   max_blocks=max_blocks)
+    r, g, b, cw = integrate_color_planar(
+        color_r, color_g, color_b, color_weight, tsdf_distance, tsdf_weight,
+        slots, bidx, color_image, depth, T_L_C, camera=camera,
+        voxel_size_m=voxel_size_m, params=params)
+    dirty = dirty.at[slots].set(True, mode="drop")
+    return r, g, b, cw, dirty
 
 
 @functools.partial(
@@ -214,14 +246,23 @@ def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs,
             edt = jnp.where((k + 1) % esdf_every == 0,
                             jnp.zeros_like(edt), edt)
         if mesh_every > 0:
+            with_color = "color_r" in channels
+
             def mesh_branch(args):
                 st, ch, dt = args
-                verts, mask, _ = _mesh_dirty_fused(
+                color_rows = ((ch["color_r"], ch["color_g"], ch["color_b"])
+                              if with_color else None)
+                verts, colors, _ = _mesh_dirty_fused(
                     st, dt, ch["tsdf_distance"], ch["tsdf_weight"],
-                    voxel_size_m=voxel_size_m, min_weight=mesh_min_weight,
-                    max_blocks=mesh_max_blocks, interpret=interpret)
-                dg = jnp.sum(jnp.where(mask[:, None], verts, 0.0)
+                    color_rows, min_weight=mesh_min_weight,
+                    max_blocks=mesh_max_blocks, with_color=with_color,
+                    interpret=interpret)
+                mask = verts[:, 0] >= 0  # sentinel -1 marks empty slots
+                dg = jnp.sum(jnp.where(mask[:, None], verts, 0)
                              .astype(jnp.float32)) * jnp.float32(1e-6)
+                if with_color:
+                    dg = dg + jnp.sum(colors[..., :1].astype(jnp.float32)
+                                      ) * jnp.float32(1e-9)
                 return dg, jnp.zeros_like(dt)
 
             dg, dt = jax.lax.cond(
@@ -292,10 +333,11 @@ class DeviceMapper:
             "tsdf_weight": jnp.zeros((cap, VOXELS_PER_BLOCK), jnp.float32),
         }
         if enable_color:
-            self.channels["color_rgb"] = jnp.zeros(
-                (cap, VOXELS_PER_BLOCK, 3), jnp.float32)
-            self.channels["color_weight"] = jnp.zeros(
-                (cap, VOXELS_PER_BLOCK), jnp.float32)
+            # Planar r/g/b channels: the Pallas mesh kernel reads
+            # per-channel pool rows directly (ops/mesh_pallas.py).
+            for ch in ("color_r", "color_g", "color_b", "color_weight"):
+                self.channels[ch] = jnp.zeros(
+                    (cap, VOXELS_PER_BLOCK), jnp.float32)
         if enable_esdf:
             self.channels["esdf_sq_dist"] = jnp.full(
                 (cap, VOXELS_PER_BLOCK), float(esdf_ops.INF_SQ), jnp.float32)
@@ -367,34 +409,25 @@ class DeviceMapper:
 
     def integrate_color(self, color_image, T_L_C, camera: Camera,
                         depth=None) -> None:
-        if "color_rgb" not in self.channels:
+        if "color_r" not in self.channels:
             return
-        p = self.params.projective
         T_L_C = jnp.asarray(T_L_C, jnp.float32)
         color_image = jnp.asarray(color_image)
-        if depth is None:
-            depth = jnp.zeros((1, 1), jnp.float32)
-        else:
-            depth = jnp.asarray(depth, jnp.float32)
-        # Batch = blocks in the color view (no allocation): raycast a
-        # max-distance pseudo-depth to cover the whole frustum.
-        grid, origin = view_ops.touched_block_grid(
-            jnp.full((camera.height, camera.width),
-                     p.max_integration_distance_m, jnp.float32),
+        depth = (jnp.zeros((1, 1), jnp.float32) if depth is None
+                 else jnp.asarray(depth, jnp.float32))
+        r, g, b, cw, self.dirty = _integrate_color_fused(
+            self.channels["color_r"], self.channels["color_g"],
+            self.channels["color_b"], self.channels["color_weight"],
+            self.dirty, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"], self.state, color_image, depth,
             T_L_C, camera=camera, voxel_size_m=self.voxel_size_m,
-            max_distance_m=p.max_integration_distance_m,
-            truncation_m=p.truncation_m(self.voxel_size_m),
+            params=self.params.projective,
+            max_blocks=self.max_blocks_per_frame,
             subsample=int(self.params.view.raycast_subsampling_factor))
-        slots, bidx, _ = wg.view_batch(
-            self.state, grid, origin, max_blocks=self.max_blocks_per_frame)
-        c, cw = color_kernel(
-            self.channels["color_rgb"], self.channels["color_weight"],
-            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
-            slots, bidx, color_image, depth, T_L_C, camera=camera,
-            voxel_size_m=self.voxel_size_m, params=p)
-        self.channels["color_rgb"] = c
+        self.channels["color_r"] = r
+        self.channels["color_g"] = g
+        self.channels["color_b"] = b
         self.channels["color_weight"] = cw
-        self.dirty = self.dirty.at[slots].set(True, mode="drop")
 
     # ----------------------------------------------------------- region AABB
     def _world_bounds(self):
@@ -579,8 +612,11 @@ class DeviceMapper:
         nbrs = wg.neighbor_slots_of(self.state, bidx)
         tsdf_grid = self.channels["tsdf_distance"].reshape(cap, B, B, B)
         weight_grid = self.channels["tsdf_weight"].reshape(cap, B, B, B)
-        if "color_rgb" in self.channels:
-            color_grid = self.channels["color_rgb"].reshape(cap, B, B, B, 3)
+        if "color_r" in self.channels:
+            color_grid = jnp.stack(
+                [self.channels[ch] for ch in
+                 ("color_r", "color_g", "color_b")],
+                axis=-1).reshape(cap, B, B, B, 3)
         else:
             color_grid = jnp.zeros((cap, B, B, B, 3), jnp.float32)
         verts, colors, valid = marching_cubes_blocks(
@@ -600,22 +636,29 @@ class DeviceMapper:
         device arrays and clears the dirty flags. A block whose -1-side
         neighbor was touched is included (the MC halo reads +1 voxels).
 
-        On TPU the table lookups/edge selection run in the Pallas kernel
-        (ops/mesh_pallas.py); verts come back as `[N, 3, 16, 512]`
-        xyz-major with a `[N, 16, 512]` mask and colors=None.
+        On TPU the whole thing runs in the fused Pallas kernel
+        (ops/mesh_pallas.py): verts come back bf16 `[N, 3, 16, 512]`
+        xyz-major in BLOCK-LOCAL voxel coordinates (empty slots = -1),
+        colors bf16 `[N, 3, 16, 512]` per-vertex RGB; use
+        ops.mesh_pallas.local_to_world_verts to get meters + a mask.
         """
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
-            verts, mask, bidx = _mesh_dirty_fused(
+            with_color = "color_r" in self.channels
+            color_rows = ((self.channels["color_r"],
+                           self.channels["color_g"],
+                           self.channels["color_b"])
+                          if with_color else None)
+            verts, colors, bidx = _mesh_dirty_fused(
                 self.state, self.dirty, self.channels["tsdf_distance"],
-                self.channels["tsdf_weight"],
-                voxel_size_m=float(self.voxel_size_m),
+                self.channels["tsdf_weight"], color_rows,
                 min_weight=float(self.params.mesh.min_weight),
-                max_blocks=max_blocks,
+                max_blocks=max_blocks, with_color=with_color,
                 interpret=jax.default_backend() != "tpu")
             self.dirty = jnp.zeros_like(self.dirty)
-            return verts, None, mask, bidx
+            mask = verts[:, 0] >= 0
+            return verts, colors, mask, bidx
         slots, bidx = _compact_dirty(self.state, self.dirty,
                                      max_blocks=max_blocks)
         verts, colors, valid = self._mesh_chunk(slots, bidx)

@@ -1,25 +1,41 @@
-"""Pallas TPU kernel for marching-cubes triangle emission.
+"""Pallas TPU kernel for marching-cubes triangle emission (fused halo).
 
-The XLA meshing path (ops/mesh.py) is dominated by element gathers: the
-256-case table lookup and the per-triangle edge-vertex selection are ~50M
-gathered elements per 2k-block batch (~0.5 s at TPU gather throughput).
-This kernel replaces every lookup with one-hot matmuls / masked reduces:
+Reference: nvblox's CUDA mesh integrator — incremental marching cubes over
+updated TSDF blocks with per-vertex color (SURVEY.md §2.1 "Mesh
+integrator"; mesh_conversions.cpp:62-104 for the colored-mesh wire format).
 
-    config one-hot   OH  (256, 512) = (iota == config)
-    triangle edges   E   (15, 512)  = tri_table^T (15,256) @ OH      [MXU]
-    edge endpoints   DA  (12, 512)  = A (12,8) @ corner_values (8,512) [MXU]
-    per-slot select  v_k (1, 512)   = sum_e (iota12 == E_k) * P_e     [VPU]
+The XLA meshing path (ops/mesh.py) is dominated by element gathers; the
+round-1 kernel replaced the lookups with one-hot matmuls but still paid
+~5 ms per batch building +1-halo corner stacks with XLA row gathers, and
+~270 MB of f32 triangle-soup output. This version fuses everything:
 
-Corner extraction (the +1 halo) stays in XLA (static slice copies); the
-kernel receives corner-major arrays `[N, 8, 512]` and emits fixed-capacity
-triangle soup `[N, 3, 16, 512]` (xyz-major, 15 tri-vertex slots padded to
-16) plus a validity mask, compacted on the host at export time.
+  * the kernel reads the pool rows of each block and its 7 positive-octant
+    neighbors directly via scalar-prefetched index maps (pipelined DMA, no
+    XLA gather, no materialized halo arrays);
+  * the 8 cube-corner samples are assembled in VMEM with lane rolls: the
+    corner (cx,cy,cz) value of voxel lane v is `src[v + 64cx+8cy+cz -
+    64ky - 8kz]` where (kx,ky,kz) are the per-axis block carries — one
+    roll per (neighbor, shift) pair, selected by carry masks;
+  * the 256-case triangle table and triangle counts are ONE one-hot MXU
+    matmul; edge endpoint values/positions are small MXU matmuls; the
+    per-slot edge select stays a masked VPU reduce;
+  * per-vertex COLOR is interpolated along the crossing edge from the
+    corner color stacks (three planar channels), matching the XLA
+    reference's `edge_col` formula exactly;
+  * output is bf16 triangle soup in BLOCK-LOCAL voxel coordinates
+    (range (0, 9); quantization ~0.03 voxel = 1.5 mm at 5 cm voxels) with
+    the sentinel -1 marking empty slots — 2.7x less HBM write traffic
+    than f32 + separate mask, and the caller reconstructs world
+    coordinates from the block index.
+
+Correctness mirror: tests assert exact bf16 equality with ops/mesh.py's
+XLA marching_cubes_blocks (interpret mode on CPU).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +50,17 @@ from isaac_ros_nvblox_tpu.ops.mesh_tables import (CORNERS, EDGES,
 V = 512
 K_SLOTS = MAX_TRIS_PER_CUBE * 3      # 15 triangle-vertex slots
 K_PAD = 16
+SENTINEL = -1.0
+
+# Positive-octant neighbor directions (dx, dy, dz) and their columns in the
+# core/block_pool.NEIGHBOR_OFFSETS 27-neighborhood order.
+_DIRS = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+         (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+NEIGHBOR_COLS = [13, 22, 16, 14, 25, 23, 17, 26]
 
 
 @functools.lru_cache(maxsize=1)
 def _edge_constants():
-    """Constant matrices for edge endpoint selection and positions."""
     ea = np.asarray([e[0] for e in EDGES])
     eb = np.asarray([e[1] for e in EDGES])
     A = np.zeros((12, 8), np.float32)
@@ -48,190 +70,258 @@ def _edge_constants():
     pa = CORNERS[ea].astype(np.float32)   # [12, 3]
     pb = CORNERS[eb].astype(np.float32)
     tri_table, tri_counts, _, _ = build_tables()
-    ttT = tri_table.astype(np.float32).T  # [15, 256] (-1 padded)
-    return A, Bm, pa, pb, ttT, tri_counts.astype(np.float32)
+    # Combined table: row 0 = triangle counts, rows 1..15 = edge ids.
+    TT = np.concatenate([tri_counts.astype(np.float32)[None, :],
+                         tri_table.astype(np.float32).T], axis=0)  # (16,256)
+    return A, Bm, pa, pb, TT
 
 
-def _kernel(bx_ref, by_ref, bz_ref, valid_ref, ttT_ref, counts_ref,
-            A_ref, B_ref, pp_ref, cd_ref, cw_ref,
-            vx_ref, vy_ref, vz_ref, mask_ref,
-            *, voxel_size_m: float, min_weight: float):
-    i = pl.program_id(0)
+_N_PREFETCH = 17  # valid + 8 distance-row indices + 8 weight-row indices
 
-    cd = cd_ref[0]   # (8, 512) corner distances
-    cw = cw_ref[0]   # (8, 512) corner weights
 
-    cube_ok = jnp.min(cw, axis=0, keepdims=True) >= min_weight  # (1,512)
-    cube_ok = cube_ok & (valid_ref[i] > 0)
+def _make_kernel(with_color: bool, min_weight: float):
+    n_ch = 5 if with_color else 2
 
-    bits = (cd < 0.0).astype(jnp.float32)                        # (8,512)
-    pow2 = jnp.exp2(jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-                    .astype(jnp.float32))
-    config = jnp.sum(bits * pow2, axis=0, keepdims=True)         # (1,512)
-    config = jnp.where(cube_ok, config, 0.0)
-    config_i = config.astype(jnp.int32)
+    def kernel(*refs):
+        valid_ref = refs[0]
+        # refs[1:17] are the prefetched row-index arrays (used by the index
+        # maps only).
+        tt_ref, a_ref, b_ref, pp_ref = refs[_N_PREFETCH:_N_PREFETCH + 4]
+        rows = refs[_N_PREFETCH + 4:_N_PREFETCH + 4 + n_ch * 8]
+        outs = refs[_N_PREFETCH + 4 + n_ch * 8:]
+        if with_color:
+            vout_ref, cout_ref = outs
+        else:
+            (vout_ref,) = outs
+        i = pl.program_id(0)
+        ok_blk = valid_ref[i] > 0
 
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, V), 0)
-    oh = (iota256 == config_i).astype(jnp.float32)               # (256,512)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        lx = lane // 64
+        ly = (lane // 8) % 8
+        lz = lane % 8
+        mx = lx == 7
+        my = ly == 7
+        mz = lz == 7
 
-    n_tris = jnp.dot(counts_ref[:, :], oh,
-                     preferred_element_type=jnp.float32)         # (1,512)
-    edges = jnp.dot(ttT_ref[:, :], oh,
-                    preferred_element_type=jnp.float32)          # (15,512)
+        # Channel rows per direction: ch 0 = distance, 1 = weight, 2.. = rgb.
+        ch_rows = []
+        for c in range(n_ch):
+            ch_rows.append({d: rows[c * 8 + k][0]
+                            for k, d in enumerate(_DIRS)})
 
-    # Edge endpoint values/positions for all 12 edges at every cube.
-    da = jnp.dot(A_ref[:, :], cd, preferred_element_type=jnp.float32)
-    db = jnp.dot(B_ref[:, :], cd, preferred_element_type=jnp.float32)
-    denom = da - db
-    t = da / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-    t = jnp.clip(t, 0.0, 1.0)
-    pax = pp_ref[:, 0:1]
-    pay = pp_ref[:, 1:2]
-    paz = pp_ref[:, 2:3]
-    pbx = pp_ref[:, 3:4]
-    pby = pp_ref[:, 4:5]
-    pbz = pp_ref[:, 5:6]
-    ex = pax + t * (pbx - pax)                                   # (12,512)
-    ey = pay + t * (pby - pay)
-    ez = paz + t * (pbz - paz)
+        roll_cache = {}
 
-    # Cube base coordinates (voxel within block + block origin).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-    gx = (lane // 64).astype(jnp.float32)
-    gy = ((lane // 8) % 8).astype(jnp.float32)
-    gz = (lane % 8).astype(jnp.float32)
-    base_x = bx_ref[i].astype(jnp.float32) * 8.0 + gx
-    base_y = by_ref[i].astype(jnp.float32) * 8.0 + gy
-    base_z = bz_ref[i].astype(jnp.float32) * 8.0 + gz
+        def rolled(ch, d, amt):
+            amt = amt % V
+            key = (ch, d, amt)
+            if key not in roll_cache:
+                src = ch_rows[ch][d]
+                roll_cache[key] = (pltpu.roll(src, (V - amt) % V, axis=1)
+                                   if amt else src)
+            return roll_cache[key]
 
-    iota12 = jax.lax.broadcasted_iota(jnp.int32, (12, V), 0) \
-        .astype(jnp.float32)
-    for k in range(K_SLOTS):
-        e_k = edges[k:k + 1, :]                                  # (1,512)
-        ohe = (iota12 == e_k).astype(jnp.float32)                # (12,512)
-        vx = jnp.sum(ohe * ex, axis=0, keepdims=True)
-        vy = jnp.sum(ohe * ey, axis=0, keepdims=True)
-        vz = jnp.sum(ohe * ez, axis=0, keepdims=True)
-        valid_k = cube_ok & (jnp.float32(k) < n_tris * 3.0) & (e_k >= 0.0)
-        # Vertex position in meters (TSDF samples sit at voxel centers).
-        vx_ref[0, k:k + 1, :] = (vx + base_x + 0.5) * voxel_size_m
-        vy_ref[0, k:k + 1, :] = (vy + base_y + 0.5) * voxel_size_m
-        vz_ref[0, k:k + 1, :] = (vz + base_z + 0.5) * voxel_size_m
-        mask_ref[0, k:k + 1, :] = valid_k.astype(jnp.float32)
-    zero_row = jnp.zeros((1, V), jnp.float32)
-    for k in range(K_SLOTS, K_PAD):
-        vx_ref[0, k:k + 1, :] = zero_row
-        vy_ref[0, k:k + 1, :] = zero_row
-        vz_ref[0, k:k + 1, :] = zero_row
-        mask_ref[0, k:k + 1, :] = zero_row
+        def corner_value(ch, cx, cy, cz):
+            off = cx * 64 + cy * 8 + cz
+            combos = [(kx, ky, kz)
+                      for kx in ((0, 1) if cx else (0,))
+                      for ky in ((0, 1) if cy else (0,))
+                      for kz in ((0, 1) if cz else (0,))]
+            combos.sort(key=lambda k: sum(k))
+            v = None
+            for (kx, ky, kz) in combos:
+                cand = rolled(ch, (kx, ky, kz), off - 64 * ky - 8 * kz)
+                if v is None:
+                    v = cand
+                else:
+                    cond = jnp.ones_like(mx)
+                    if kx:
+                        cond = cond & mx
+                    if ky:
+                        cond = cond & my
+                    if kz:
+                        cond = cond & mz
+                    v = jnp.where(cond, cand, v)
+            return v
+
+        def stack(ch):
+            return jnp.concatenate(
+                [corner_value(ch, cx, cy, cz)
+                 for (cx, cy, cz) in np.asarray(CORNERS).tolist()], axis=0)
+
+        cd = stack(0)                             # (8, 512)
+        cw = stack(1)
+        cube_ok = (jnp.min(cw, axis=0, keepdims=True) >= min_weight) & ok_blk
+
+        bits = (cd < 0.0).astype(jnp.float32)
+        pow2 = jnp.exp2(jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                        .astype(jnp.float32))
+        config = jnp.sum(bits * pow2, axis=0, keepdims=True)
+        config = jnp.where(cube_ok, config, 0.0)
+        config_i = config.astype(jnp.int32)
+
+        iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, V), 0)
+        oh = (iota256 == config_i).astype(jnp.float32)
+
+        table = jnp.dot(tt_ref[:, :], oh,
+                        preferred_element_type=jnp.float32)       # (16,512)
+        n_tris = table[0:1, :]
+        edges = table[1:16, :]
+
+        da = jnp.dot(a_ref[:, :], cd, preferred_element_type=jnp.float32)
+        db = jnp.dot(b_ref[:, :], cd, preferred_element_type=jnp.float32)
+        denom = da - db
+        t = jnp.clip(da / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12),
+                     0.0, 1.0)
+        pax, pay, paz = pp_ref[:, 0:1], pp_ref[:, 1:2], pp_ref[:, 2:3]
+        pbx, pby, pbz = pp_ref[:, 3:4], pp_ref[:, 4:5], pp_ref[:, 5:6]
+        ex = pax + t * (pbx - pax)                                # (12,512)
+        ey = pay + t * (pby - pay)
+        ez = paz + t * (pbz - paz)
+        if with_color:
+            ecs = []
+            for ch in (2, 3, 4):
+                cc = stack(ch)                                    # (8,512)
+                ca = jnp.dot(a_ref[:, :], cc,
+                             preferred_element_type=jnp.float32)
+                cb = jnp.dot(b_ref[:, :], cc,
+                             preferred_element_type=jnp.float32)
+                ecs.append(ca + t * (cb - ca))
+
+        base_x = lx.astype(jnp.float32)
+        base_y = ly.astype(jnp.float32)
+        base_z = lz.astype(jnp.float32)
+
+        iota12 = jax.lax.broadcasted_iota(jnp.int32, (12, V), 0) \
+            .astype(jnp.float32)
+        vxs, vys, vzs, crs, cgs, cbs = [], [], [], [], [], []
+        for k in range(K_SLOTS):
+            e_k = edges[k:k + 1, :]
+            ohe = (iota12 == e_k).astype(jnp.float32)
+            valid_k = cube_ok & (jnp.float32(k) < n_tris * 3.0) & (e_k >= 0.0)
+            sent = jnp.float32(SENTINEL)
+
+            def pick(p, base):
+                v = jnp.sum(ohe * p, axis=0, keepdims=True) + base + 0.5
+                return jnp.where(valid_k, v, sent)
+
+            vxs.append(pick(ex, base_x))
+            vys.append(pick(ey, base_y))
+            vzs.append(pick(ez, base_z))
+            if with_color:
+                for acc, ec in zip((crs, cgs, cbs), ecs):
+                    c = jnp.sum(ohe * ec, axis=0, keepdims=True)
+                    acc.append(jnp.where(valid_k, c, 0.0))
+        pad = jnp.full((K_PAD - K_SLOTS, V), SENTINEL, jnp.float32)
+        zpad = jnp.zeros((K_PAD - K_SLOTS, V), jnp.float32)
+        for c, comp in enumerate((vxs, vys, vzs)):
+            vout_ref[0, c] = jnp.concatenate(comp + [pad], axis=0) \
+                .astype(jnp.bfloat16)
+        if with_color:
+            for c, comp in enumerate((crs, cgs, cbs)):
+                cout_ref[0, c] = jnp.concatenate(comp + [zpad], axis=0) \
+                    .astype(jnp.bfloat16)
+
+    return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("voxel_size_m", "min_weight", "interpret"))
-def marching_cubes_pallas(corner_d, corner_w, block_indices, valid, *,
-                          voxel_size_m: float, min_weight: float,
-                          interpret: bool = False):
-    """Triangle soup from corner-major TSDF samples.
+                   static_argnames=("min_weight", "with_color", "interpret"))
+def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
+                         min_weight: float, with_color: bool,
+                         interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Marching cubes over pool rows with in-kernel +1 halo.
 
     Args:
-      corner_d, corner_w: f32[N, 8, 512] — 8 cube-corner samples per voxel
-        (from the XLA halo/corner extraction).
-      block_indices: i32[N, 3]; valid: i32[N] (0 = padding block).
+      tsdf_rows, weight_rows: f32[cap, 512] pool channels.
+      color_rows: (r, g, b) planar f32[cap, 512] channels, or None.
+      nbr8: i32[N, 8] slot of self + 7 positive-octant neighbors (order
+        _DIRS; -1 = absent).
+      valid: i32[N] (0 = padding block).
 
-    Returns (verts f32[N, 3, 16, 512] xyz-major, mask f32[N, 16, 512]).
-    Triangle-vertex slot k of cube v belongs to triangle k//3.
+    Returns:
+      verts:  bf16[N, 3, 16, 512] block-LOCAL voxel coords; empty slots
+              carry SENTINEL (-1) in all three components.
+      colors: bf16[N, 3, 16, 512] per-vertex RGB (0-255), or None.
     """
-    N = corner_d.shape[0]
-    A, Bm, pa, pb, ttT, tri_counts = _edge_constants()
+    cap = tsdf_rows.shape[0]
+    N = nbr8.shape[0]
+    A, Bm, pa, pb, TT = _edge_constants()
     pp = np.concatenate([pa, pb, np.zeros((12, 2), np.float32)], axis=1)
-    kernel = functools.partial(_kernel, voxel_size_m=float(voxel_size_m),
-                               min_weight=float(min_weight))
+
+    safe = jnp.clip(nbr8, 0, cap - 1).astype(jnp.int32)
+    present = nbr8 >= 0
+    # Absent neighbors must contribute weight 0 (-> cube_ok false at their
+    # corners). Instead of masking rows in-kernel, route them to a zero-
+    # weight row: pool row gathers clamp to row `cap - 1` only when that
+    # row is itself in use, so mask via a weight multiplier row set.
+    d3 = tsdf_rows.reshape(cap, 1, V)
+    # Weight rows with one extra all-zero row for absent neighbors.
+    w_pad = jnp.concatenate(
+        [weight_rows, jnp.zeros((1, V), weight_rows.dtype)], axis=0)
+    w3 = w_pad.reshape(cap + 1, 1, V)
+    w_idx = jnp.where(present, safe, cap).astype(jnp.int32)
+
+    n_ch = 5 if with_color else 2
+    prefetch = [valid.astype(jnp.int32)]
+    prefetch += [safe[:, k] for k in range(8)]          # d index per dir
+    prefetch += [w_idx[:, k] for k in range(8)]         # w index per dir
+
+    def _row_spec(arg_pos):
+        # arg_pos: which prefetch array holds this input's row index.
+        return pl.BlockSpec(
+            (1, 1, V),
+            lambda i, *pf, ap=arg_pos: (pf[ap][i], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    d_specs = [_row_spec(1 + k) for k in range(8)]
+    w_specs = [_row_spec(9 + k) for k in range(8)]
+    c_specs = []
+    inputs = [jnp.asarray(TT), jnp.asarray(A), jnp.asarray(Bm),
+              jnp.asarray(pp)]
+    inputs += [d3] * 8 + [w3] * 8
+    if with_color:
+        cr, cg, cb = color_rows
+        c3 = [c.reshape(cap, 1, V) for c in (cr, cg, cb)]
+        c_specs = ([_row_spec(1 + k) for k in range(8)]
+                   + [_row_spec(1 + k) for k in range(8)]
+                   + [_row_spec(1 + k) for k in range(8)])
+        inputs += [c3[0]] * 8 + [c3[1]] * 8 + [c3[2]] * 8
+
+    out_specs = [pl.BlockSpec((1, 3, K_PAD, V), lambda i, *pf: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((N, 3, K_PAD, V), jnp.bfloat16)]
+    if with_color:
+        out_specs = out_specs * 2
+        out_shape = out_shape * 2
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # bx, by, bz, valid
+        num_scalar_prefetch=len(prefetch),
         grid=(N,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ttT (15,256)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # counts (1,256)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # A (12,8)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # B (12,8)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # pp (12,8)
-            pl.BlockSpec((1, 8, V), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, V), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, K_PAD, V), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_PAD, V), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_PAD, V), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_PAD, V), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=const_specs + d_specs + w_specs + c_specs,
+        out_specs=out_specs,
     )
-    vx, vy, vz, mask = pl.pallas_call(
+    kernel = _make_kernel(with_color, float(min_weight))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((N, K_PAD, V), jnp.float32)] * 4,
+        out_shape=out_shape,
         interpret=interpret,
-    )(block_indices[:, 0].astype(jnp.int32),
-      block_indices[:, 1].astype(jnp.int32),
-      block_indices[:, 2].astype(jnp.int32),
-      valid.astype(jnp.int32),
-      jnp.asarray(ttT), jnp.asarray(tri_counts).reshape(1, 256),
-      jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(pp),
-      corner_d, corner_w)
-    verts = jnp.stack([vx, vy, vz], axis=1)  # [N, 3, 16, 512]
-    return verts, mask
+    )(*prefetch, *inputs)
+    if with_color:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
-# Neighbor-table columns (core/block_pool.NEIGHBOR_OFFSETS order) for the
-# positive-octant neighbors needed by the +1 marching-cubes halo.
-_SELF, _XP, _YP, _ZP, _XYP, _XZP, _YZP, _XYZP = 13, 22, 16, 14, 25, 23, 17, 26
+def local_to_world_verts(verts_local, block_indices, voxel_size_m: float):
+    """bf16 block-local soup -> f32 world coords + validity mask (XLA).
 
-
-def corner_stacks(tsdf_grid, weight_grid, neighbor_slots):
-    """XLA front half: +1 halo + corner-major stacking -> [N, 8, 512].
-
-    Built from 8 *row* gathers (full neighbor blocks) plus static slice
-    concatenations — row gathers run ~30x faster than the sliced-gather
-    form on TPU, and concats are plain copies.
-    """
-    cap = tsdf_grid.shape[0]
-    B = 8
-    N = neighbor_slots.shape[0]
-
-    def blocks_of(grid, col):
-        ns = neighbor_slots[:, col]
-        data = grid.reshape(cap, B, B, B)[jnp.clip(ns, 0, cap - 1)]
-        mask = (ns >= 0).reshape(N, 1, 1, 1)
-        return jnp.where(mask, data, 0.0)
-
-    def padded(grid):
-        own = blocks_of(grid, _SELF)
-        xn = blocks_of(grid, _XP)
-        yn = blocks_of(grid, _YP)
-        zn = blocks_of(grid, _ZP)
-        xyn = blocks_of(grid, _XYP)
-        xzn = blocks_of(grid, _XZP)
-        yzn = blocks_of(grid, _YZP)
-        xyzn = blocks_of(grid, _XYZP)
-        X = jnp.concatenate([own, xn[:, :1]], axis=1)           # [N,9,8,8]
-        Y = jnp.concatenate([yn[:, :, :1], xyn[:, :1, :1]], axis=1)  # [N,9,1,8]
-        XY = jnp.concatenate([X, Y], axis=2)                    # [N,9,9,8]
-        Zx = jnp.concatenate([zn[:, :, :, :1], xzn[:, :1, :, :1]],
-                             axis=1)                            # [N,9,8,1]
-        Zy = jnp.concatenate([yzn[:, :, :1, :1], xyzn[:, :1, :1, :1]],
-                             axis=1)                            # [N,9,1,1]
-        Z = jnp.concatenate([Zx, Zy], axis=2)                   # [N,9,9,1]
-        return jnp.concatenate([XY, Z], axis=3)                 # [N,9,9,9]
-
-    def stack(pad):
-        parts = [pad[:, cx:cx + B, cy:cy + B, cz:cz + B]
-                 .reshape(pad.shape[0], 1, V)
-                 for (cx, cy, cz) in np.asarray(CORNERS).tolist()]
-        return jnp.concatenate(parts, axis=1)  # [N, 8, 512]
-
-    return stack(padded(tsdf_grid)), stack(padded(weight_grid))
+    verts_local: bf16[N, 3, 16, 512]; returns (f32[N,3,16,512] meters,
+    bool[N,16,512])."""
+    mask = verts_local[:, 0] >= 0.0
+    origin = (block_indices.astype(jnp.float32) * 8.0)  # [N,3]
+    world = (verts_local.astype(jnp.float32)
+             + origin[:, :, None, None]) * voxel_size_m
+    return world, mask

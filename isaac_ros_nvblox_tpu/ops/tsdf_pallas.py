@@ -39,9 +39,10 @@ from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops.tsdf import TsdfIntegratorParams, WeightingFunctionType
 
 TILE_V = 32        # tile rows (pixels at the chosen level)
-TILE_U = 384       # tile cols: 3 x 128 so the 128-aligned origin always
-                   # covers the footprint (lane-dim slices must be
-                   # 128-aligned on TPU)
+TILE_U = 256       # tile cols: 2 x 128; with u0 = round(uc/128)*128 - 128
+                   # the footprint center sits within [u0+64, u0+192), so
+                   # both margins are >= 64 px >> the <=16 px footprint
+                   # (lane-dim slice origins must be 128-aligned on TPU)
 N_LEVELS = 5       # decimation levels 0..4 (footprints up to ~512 px)
 V = 512
 
@@ -200,7 +201,7 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
     v0 = jnp.clip((vc * scale).astype(jnp.int32) - TILE_V // 2, 0,
                   h_l - TILE_V)
     v0 = (v0 // 8) * 8
-    u0 = ((uc * scale).astype(jnp.int32) // 128 - 1) * 128
+    u0 = (jnp.round(uc * scale / 128.0).astype(jnp.int32) - 1) * 128
     u0 = jnp.clip(u0, 0, w_l - TILE_U)
     valid = (slots < cap).astype(jnp.int32)
     safe_slots = jnp.where(slots < cap, slots, 0)
