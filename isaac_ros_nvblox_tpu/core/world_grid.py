@@ -46,16 +46,28 @@ _NEIGHBOR_OFFSETS = np.array(
     [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
     dtype=np.int32)
 
+# block_index_of_slot value marking a freed (recyclable) slot. Far outside
+# any reachable world so freed slots never alias a real region cell.
+FREED_BLOCK_SENTINEL = 1 << 20
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class WorldGridState:
-    """Device state of the allocator (a pytree; static fields in aux)."""
+    """Device state of the allocator (a pytree; static fields in aux).
+
+    `alloc_count` is the fresh-slot high-water mark; freed slots are pushed
+    onto `free_stack` and recycled by the next allocation (their
+    block_index_of_slot rows carry FREED_BLOCK_SENTINEL while free). The
+    live-block count is `alloc_count - free_count`.
+    """
     slot_grid: jnp.ndarray        # i32[Dx, Dy, Dz], -1 = unallocated
     block_index_of_slot: jnp.ndarray  # i32[cap, 3] world block index per slot
-    alloc_count: jnp.ndarray      # i32[] number of allocated slots
+    alloc_count: jnp.ndarray      # i32[] fresh-slot high-water mark
     overflow_count: jnp.ndarray   # i32[] blocks dropped due to full pool
     origin_block: jnp.ndarray     # i32[3] world block index of grid cell 0
+    free_stack: jnp.ndarray       # i32[cap] recyclable slot ids
+    free_count: jnp.ndarray       # i32[] number of entries in free_stack
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,7 +84,17 @@ def create_world_grid(config: WorldGridConfig) -> WorldGridState:
         alloc_count=jnp.zeros((), jnp.int32),
         overflow_count=jnp.zeros((), jnp.int32),
         origin_block=jnp.asarray(config.origin_block, jnp.int32),
+        free_stack=jnp.zeros((config.capacity,), jnp.int32),
+        free_count=jnp.zeros((), jnp.int32),
     )
+
+
+@jax.jit
+def live_slot_mask(state: WorldGridState) -> jnp.ndarray:
+    """bool[cap]: slot holds a live (allocated, not freed) block."""
+    cap = state.block_index_of_slot.shape[0]
+    return ((jnp.arange(cap) < state.alloc_count)
+            & (state.block_index_of_slot[:, 0] < FREED_BLOCK_SENTINEL))
 
 
 def _world_cells_of_mask(mask_grid, mask_origin_block, state: WorldGridState):
@@ -110,7 +132,12 @@ def allocate_from_mask(state: WorldGridState, mask_grid, mask_origin_block
                               safe_cells[:, 2]]
     is_new = touched & in_bounds & (current < 0)
     order = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # prefix index
-    new_slot = state.alloc_count + order
+    # Recycle freed slots first (LIFO), then take fresh ones.
+    reuse = order < state.free_count
+    stack_idx = jnp.clip(state.free_count - 1 - order, 0, cap - 1)
+    recycled = state.free_stack[stack_idx]
+    fresh = state.alloc_count + (order - state.free_count)
+    new_slot = jnp.where(reuse, recycled, fresh)
     ok = is_new & (new_slot < cap)
     write_slot = jnp.where(ok, new_slot, -1)
 
@@ -127,14 +154,16 @@ def allocate_from_mask(state: WorldGridState, mask_grid, mask_origin_block
     block_index_of_slot = state.block_index_of_slot.at[slot_for_record].set(
         world_block, mode="drop")
 
-    n_new = jnp.sum(ok.astype(jnp.int32))
+    n_ok = jnp.sum(ok.astype(jnp.int32))
+    n_reused = jnp.sum((ok & reuse).astype(jnp.int32))
     n_overflow = jnp.sum((is_new & ~ok).astype(jnp.int32))
-    return WorldGridState(
+    return dataclasses.replace(
+        state,
         slot_grid=slot_grid,
         block_index_of_slot=block_index_of_slot,
-        alloc_count=state.alloc_count + n_new,
+        alloc_count=state.alloc_count + (n_ok - n_reused),
         overflow_count=state.overflow_count + n_overflow,
-        origin_block=state.origin_block)
+        free_count=state.free_count - n_reused)
 
 
 @functools.partial(jax.jit, static_argnames=("max_blocks",))
@@ -206,19 +235,36 @@ def allocated_batch_range(state: WorldGridState, start, *, max_blocks: int):
 
 @jax.jit
 def free_slots(state: WorldGridState, slots_to_free) -> WorldGridState:
-    """Deallocate given slots (device-side): clears slot_grid cells.
+    """Deallocate given slots (device-side) and recycle their storage.
 
-    Note: slot ids are not recycled (monotonic allocator); the map stays
-    correct and freed voxel storage is reused only after compaction
-    (cold-path host op). Deallocation is rare (decay/radius clearing), so a
-    periodic compaction matches the reference's decay cadence.
+    Clears the slot_grid cells, marks the slots' block indices with
+    FREED_BLOCK_SENTINEL, and pushes them onto the free stack so the next
+    allocation reuses them (parity: the reference's decay integrators
+    deallocate and the GPU hash reuses blocks,
+    mapper_initialization.cpp:382-387). Callers must also reset the freed
+    slots' voxel channels (weights/log-odds to zero) so the recycled rows
+    start clean. Already-freed or out-of-range entries are ignored.
     """
     cap = state.block_index_of_slot.shape[0]
-    bidx = state.block_index_of_slot[jnp.clip(slots_to_free, 0, cap - 1)]
+    safe = jnp.clip(slots_to_free, 0, cap - 1)
+    bidx = state.block_index_of_slot[safe]
+    ok = ((slots_to_free >= 0) & (slots_to_free < cap)
+          & (safe < state.alloc_count)
+          & (bidx[:, 0] < FREED_BLOCK_SENTINEL))
     cells = bidx - state.origin_block
     dims = jnp.asarray(state.slot_grid.shape, jnp.int32)
-    ok = (slots_to_free >= 0) & (slots_to_free < cap)
     cells = jnp.where(ok[:, None], jnp.clip(cells, 0, dims - 1), dims)
     slot_grid = state.slot_grid.at[cells[:, 0], cells[:, 1], cells[:, 2]].set(
         -1, mode="drop")
-    return dataclasses.replace(state, slot_grid=slot_grid)
+    # Mark freed rows so region/AABB math never sees their stale indices.
+    mark = jnp.where(ok, safe, cap)
+    block_index_of_slot = state.block_index_of_slot.at[mark].set(
+        FREED_BLOCK_SENTINEL, mode="drop")
+    # Push onto the free stack.
+    order = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    push = jnp.where(ok, state.free_count + order, cap)
+    free_stack = state.free_stack.at[push].set(safe, mode="drop")
+    return dataclasses.replace(
+        state, slot_grid=slot_grid, block_index_of_slot=block_index_of_slot,
+        free_stack=free_stack,
+        free_count=state.free_count + jnp.sum(ok.astype(jnp.int32)))

@@ -58,16 +58,33 @@ def _bucket(n: int, minimum: int = 256) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("camera", "voxel_size_m", "params",
-                                    "max_blocks", "use_pallas"),
+                                    "max_blocks", "use_pallas", "mask_mode",
+                                    "view_params"),
                    donate_argnums=(0, 1, 2, 3, 4))
 def _integrate_frame_fused(state, distance, weight, dirty, esdf_dirty, depth,
-                           T_L_C, *, camera: Camera, voxel_size_m: float,
-                           params, max_blocks: int, use_pallas: bool = False):
-    """view grid -> allocate -> view batch -> TSDF fuse -> dirty, one program."""
+                           T_L_C, mask=None, *, camera: Camera,
+                           voxel_size_m: float, params, max_blocks: int,
+                           use_pallas: bool = False, mask_mode: int = 0,
+                           view_params=None):
+    """view grid -> allocate -> view batch -> TSDF fuse -> dirty, one program.
+
+    mask_mode: 0 = no mask, 1 = integrate unmasked pixels (background),
+    2 = integrate masked pixels (foreground) — the reference's masked
+    integrateDepth split (nvblox_node.cpp:1057-1063). `view_params` (when
+    given) applies the workspace bounds on the device path
+    (mapper_initialization.cpp:330-358).
+    """
+    if mask_mode == 1:
+        depth = jnp.where(mask > 0, 0.0, depth)
+    elif mask_mode == 2:
+        depth = jnp.where(mask > 0, depth, 0.0)
     grid, origin = view_ops.touched_block_grid(
         depth, T_L_C, camera=camera, voxel_size_m=voxel_size_m,
         max_distance_m=params.max_integration_distance_m,
         truncation_m=params.truncation_m(voxel_size_m), subsample=1)
+    if view_params is not None:
+        grid = view_ops.apply_workspace_bounds_to_grid(
+            grid, origin, voxel_size_m=voxel_size_m, params=view_params)
     state = wg.allocate_from_mask(state, grid, origin)
     slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
     if use_pallas:
@@ -84,41 +101,306 @@ def _integrate_frame_fused(state, distance, weight, dirty, esdf_dirty, depth,
     return state, distance, weight, dirty, esdf_dirty
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("camera", "voxel_size_m", "params",
+                                    "proj_max_distance_m", "truncation_m",
+                                    "max_blocks", "mask_mode", "view_params"),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def _integrate_occupancy_fused(state, log_odds, observed, dirty, esdf_dirty,
+                               depth, T_L_C, mask=None, *, camera: Camera,
+                               voxel_size_m: float, params,
+                               proj_max_distance_m: float,
+                               truncation_m: float, max_blocks: int,
+                               mask_mode: int = 0, view_params=None):
+    """Occupancy-layer analogue of _integrate_frame_fused (log-odds fusion;
+    parity: the occupancy integrator used by static_occupancy mode and the
+    dynamic foreground mapper, mapper_initialization.cpp:307-328)."""
+    from isaac_ros_nvblox_tpu.ops.occupancy import integrate_occupancy
+    if mask_mode == 1:
+        depth = jnp.where(mask > 0, 0.0, depth)
+    elif mask_mode == 2:
+        depth = jnp.where(mask > 0, depth, 0.0)
+    grid, origin = view_ops.touched_block_grid(
+        depth, T_L_C, camera=camera, voxel_size_m=voxel_size_m,
+        max_distance_m=proj_max_distance_m, truncation_m=truncation_m,
+        subsample=1)
+    if view_params is not None:
+        grid = view_ops.apply_workspace_bounds_to_grid(
+            grid, origin, voxel_size_m=voxel_size_m, params=view_params)
+    state = wg.allocate_from_mask(state, grid, origin)
+    slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    log_odds, observed = integrate_occupancy(
+        log_odds, observed, slots, bidx, depth, T_L_C, camera=camera,
+        voxel_size_m=voxel_size_m, params=params)
+    dirty = dirty.at[slots].set(True, mode="drop")
+    esdf_dirty = esdf_dirty.at[slots].set(True, mode="drop")
+    return state, log_odds, observed, dirty, esdf_dirty
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lidar", "voxel_size_m", "params",
+                                    "max_blocks"),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def _integrate_lidar_fused(state, distance, weight, dirty, esdf_dirty,
+                           range_image, T_L_S, *, lidar, voxel_size_m: float,
+                           params, max_blocks: int):
+    """lidar view grid -> allocate -> batch -> spherical TSDF fuse.
+
+    Fully device-resident lidar integration (parity:
+    nvblox_node.cpp:1382-1384)."""
+    from isaac_ros_nvblox_tpu.ops.tsdf import integrate_tsdf_lidar
+    grid, origin = view_ops.touched_block_grid_lidar(
+        range_image, T_L_S, lidar=lidar, voxel_size_m=voxel_size_m,
+        max_distance_m=params.max_integration_distance_m,
+        truncation_m=params.truncation_m(voxel_size_m))
+    state = wg.allocate_from_mask(state, grid, origin)
+    slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    distance, weight = integrate_tsdf_lidar(
+        distance, weight, slots, bidx, range_image, T_L_S, lidar=lidar,
+        voxel_size_m=voxel_size_m, params=params)
+    dirty = dirty.at[slots].set(True, mode="drop")
+    esdf_dirty = esdf_dirty.at[slots].set(True, mode="drop")
+    return state, distance, weight, dirty, esdf_dirty
+
+
+# Per-channel reset values for freed/cleared slots (recycled slots must
+# start in each channel's initial state).
+_CHANNEL_RESET = {"esdf_sq_dist": float(esdf_ops.INF_SQ),
+                  "freespace_last_occupied_ms": -1e9}
+
+
+def _reset_rows(channels: Dict[str, jnp.ndarray], slots,
+                reset_extra=()) -> Dict[str, jnp.ndarray]:
+    """Reset the given slot rows of every channel to its initial value;
+    slots >= cap are dropped. reset_extra: static ((name, value), ...)
+    overrides (e.g. initialize_to_high_confidence_freespace)."""
+    resets = dict(_CHANNEL_RESET)
+    resets.update(dict(reset_extra))
+    out = {}
+    for name, ch in channels.items():
+        fill = jnp.asarray(resets.get(name, 0), ch.dtype)
+        shape = (slots.shape[0],) + ch.shape[1:]
+        out[name] = ch.at[slots].set(jnp.full(shape, fill, ch.dtype),
+                                     mode="drop")
+    return out
+
+
+def _free_mask(state, channels, dirty, esdf_dirty, dead, *, max_free: int,
+               reset_extra=()):
+    """Free all slots where `dead` (bool[cap]) and reset their channels."""
+    cap = dead.shape[0]
+    (idx,) = jnp.nonzero(dead, size=max_free, fill_value=cap)
+    state = wg.free_slots(state, jnp.where(idx < cap, idx, -1))
+    channels = _reset_rows(channels, idx, reset_extra)
+    dirty = dirty.at[idx].set(False, mode="drop")
+    esdf_dirty = esdf_dirty.at[idx].set(False, mode="drop")
+    return state, channels, dirty, esdf_dirty
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("camera", "voxel_size_m", "params",
+                                    "max_free", "has_view", "reset_extra",
+                                    "view_distance_m"),
+                   donate_argnums=(1, 2, 3))
+def _decay_tsdf_fused(state, channels, dirty, esdf_dirty, T_L_C, *,
+                      camera, voxel_size_m: float, params, max_free: int,
+                      has_view: bool, reset_extra=(),
+                      view_distance_m: float = 7.0):
+    """TSDF weight decay + decayed-block deallocation, one program.
+
+    Parity: decayTsdfExcludeLastView<Camera> + decayed-block deallocation
+    (nvblox_node.cpp:931-936, mapper_initialization.cpp:382-404). Blocks in
+    the last camera frustum are excluded from decay and deallocation.
+    """
+    from isaac_ros_nvblox_tpu.ops.decay import decay_tsdf
+    d, w, block_max_w = decay_tsdf(
+        channels["tsdf_distance"], channels["tsdf_weight"],
+        state.block_index_of_slot, T_L_C, params=params,
+        voxel_size_m=voxel_size_m,
+        camera=camera if has_view and params.exclude_last_view else None,
+        view_distance_m=view_distance_m)
+    channels = dict(channels, tsdf_distance=d, tsdf_weight=w)
+    live = wg.live_slot_mask(state)
+    dead = live & (block_max_w < params.decayed_weight_threshold)
+    if has_view:
+        # Never deallocate blocks in the current view (they are being
+        # observed; freeing them would thrash the allocator).
+        bs = voxel_size_m * B
+        centers = (state.block_index_of_slot.astype(jnp.float32) + 0.5) * bs
+        from isaac_ros_nvblox_tpu.core.types import Transform
+        p_C = Transform.apply(Transform.inverse(T_L_C), centers)
+        _, in_view = camera.project(p_C[:, None, :])
+        dead = dead & ~in_view[:, 0]
+    state, channels, dirty, esdf_dirty = _free_mask(
+        state, channels, dirty, esdf_dirty, dead, max_free=max_free,
+        reset_extra=reset_extra)
+    return state, channels, dirty, esdf_dirty
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "max_free",
+                                    "dealloc_threshold", "reset_extra"),
+                   donate_argnums=(1, 2, 3))
+def _decay_occupancy_fused(state, channels, dirty, esdf_dirty, *, params,
+                           max_free: int, dealloc_threshold: float,
+                           reset_extra=()):
+    """Occupancy log-odds decay toward the prior + deallocation."""
+    from isaac_ros_nvblox_tpu.ops.decay import decay_occupancy
+    lo, block_max = decay_occupancy(channels["occupancy_log_odds"],
+                                    params=params)
+    channels = dict(channels, occupancy_log_odds=lo)
+    live = wg.live_slot_mask(state)
+    dead = live & (block_max < dealloc_threshold)
+    state, channels, dirty, esdf_dirty = _free_mask(
+        state, channels, dirty, esdf_dirty, dead, max_free=max_free,
+        reset_extra=reset_extra)
+    return state, channels, dirty, esdf_dirty
+
+
+@functools.partial(jax.jit, static_argnames=("max_free", "voxel_size_m",
+                                             "reset_extra"),
+                   donate_argnums=(1, 2, 3))
+def _clear_outside_radius_fused(state, channels, dirty, esdf_dirty, center_m,
+                                radius_m, *, voxel_size_m: float,
+                                max_free: int, reset_extra=()):
+    """Free every block whose center lies outside the given radius
+    (parity: clearOutsideRadius, nvblox_node.cpp:1566-1583)."""
+    bs = voxel_size_m * B
+    centers = (state.block_index_of_slot.astype(jnp.float32) + 0.5) * bs
+    dist = jnp.linalg.norm(centers - center_m[None, :], axis=1)
+    dead = wg.live_slot_mask(state) & (dist > radius_m)
+    return _free_mask(state, channels, dirty, esdf_dirty, dead,
+                      max_free=max_free, reset_extra=reset_extra)
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size_m",),
+                   donate_argnums=(1, 2, 3, 4))
+def _clear_shapes_fused(state, distance, weight, dirty, esdf_dirty,
+                        spheres, aabbs, *, voxel_size_m: float):
+    """Clear the TSDF inside spheres `f32[Ks,4]` (cx,cy,cz,r; r<=0 inert)
+    and AABBs `f32[Ka,6]` (lo,hi; degenerate inert) — parity:
+    clearTsdfInsideShapes (nvblox_node.cpp:1834,
+    esdf_and_gradients_conversions.cu:127-180). Cleared voxels become
+    unobserved (weight 0)."""
+    from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+    centers = voxel_centers_for_blocks(state.block_index_of_slot,
+                                       voxel_size_m)  # [cap, 512, 3]
+    inside = jnp.zeros(centers.shape[:2], bool)
+    for k in range(spheres.shape[0]):
+        c = spheres[k, :3]
+        r = spheres[k, 3]
+        d2 = jnp.sum((centers - c[None, None, :]) ** 2, axis=-1)
+        inside = inside | ((r > 0) & (d2 <= r * r))
+    for k in range(aabbs.shape[0]):
+        lo = aabbs[k, :3]
+        hi = aabbs[k, 3:]
+        inb = jnp.all((centers >= lo[None, None]) & (centers <= hi[None, None]),
+                      axis=-1)
+        inside = inside | (jnp.all(hi > lo) & inb)
+    live = wg.live_slot_mask(state)
+    inside = inside & live[:, None]
+    cleared_block = jnp.any(inside, axis=1)
+    weight = jnp.where(inside, 0.0, weight)
+    distance = jnp.where(inside, 0.0, distance)
+    dirty = dirty | cleared_block
+    esdf_dirty = esdf_dirty | cleared_block
+    return distance, weight, dirty, esdf_dirty
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("camera", "voxel_size_m", "params",
+                                    "view_distance_m", "max_blocks"),
+                   donate_argnums=(0, 1, 2))
+def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
+                     state, tsdf_distance, tsdf_weight, T_L_C,
+                     time_ms, last_update_ms, *, camera: Camera,
+                     voxel_size_m: float, params, view_distance_m: float,
+                     max_blocks: int):
+    """View batch -> freespace state machine (+ optional 26-neighborhood
+    occupancy check), one program (parity: freespace integrator,
+    mapper_initialization.cpp:430-463). The batch covers the whole camera
+    frustum (max-distance pseudo-depth), like the reference's per-view
+    freespace update."""
+    from isaac_ros_nvblox_tpu.ops.freespace import update_freespace
+    pseudo = jnp.full((camera.height, camera.width), view_distance_m,
+                      jnp.float32)
+    grid, origin = view_ops.touched_block_grid(
+        pseudo, T_L_C, camera=camera, voxel_size_m=voxel_size_m,
+        max_distance_m=view_distance_m,
+        truncation_m=2 * voxel_size_m, subsample=1)
+    slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    if params.check_neighborhood:
+        # A voxel counts as occupied if any 3^3 neighbor is occupied:
+        # dilate the occupancy indicator across the +-1 halo.
+        from isaac_ros_nvblox_tpu.ops.halo import gather_halo_sliced
+        cap = tsdf_distance.shape[0]
+        occ = ((tsdf_distance < params.max_tsdf_distance_for_occupancy_m)
+               & (tsdf_weight > 1e-6)).astype(jnp.float32)
+        nbrs = wg.neighbor_slots_of(state, bidx)
+        pad = gather_halo_sliced(occ.reshape(cap, B, B, B), nbrs,
+                                 lo=1, hi=1, fill=0.0)
+        dil = jax.lax.reduce_window(
+            pad, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "VALID")
+        occ_dilated = dil.reshape(-1, B ** 3) > 0.5
+        # Present to the state machine as a distance: occupied -> below
+        # threshold, free -> far.
+        eff_distance = tsdf_distance.at[slots].set(
+            jnp.where(occ_dilated,
+                      params.max_tsdf_distance_for_occupancy_m - 1.0,
+                      1e3), mode="drop")
+    else:
+        eff_distance = tsdf_distance
+    return update_freespace(
+        consecutive_ms, last_occupied_ms, high_confidence, eff_distance,
+        tsdf_weight, slots, bidx, T_L_C, time_ms, last_update_ms,
+        camera=camera, voxel_size_m=voxel_size_m, params=params)
+
+
 @jax.jit
 def _esdf_stats(state, esdf_dirty):
-    """Tiny per-update host sync: alloc count + allocated/dirty block AABBs."""
-    cap = state.block_index_of_slot.shape[0]
+    """Tiny per-update host sync: live count + allocated/dirty block AABBs."""
     bi = state.block_index_of_slot
     big = jnp.int32(1 << 20)
-    live = jnp.arange(cap) < state.alloc_count
+    live = wg.live_slot_mask(state)
     a_lo = jnp.min(jnp.where(live[:, None], bi, big), axis=0)
     a_hi = jnp.max(jnp.where(live[:, None], bi, -big), axis=0)
     dirty = esdf_dirty & live
     d_lo = jnp.min(jnp.where(dirty[:, None], bi, big), axis=0)
     d_hi = jnp.max(jnp.where(dirty[:, None], bi, -big), axis=0)
-    return (state.alloc_count, a_lo, a_hi, d_lo, d_hi,
+    return (jnp.sum(live.astype(jnp.int32)), a_lo, a_hi, d_lo, d_hi,
             jnp.sum(dirty.astype(jnp.int32)))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dims_b", "band", "voxel_size_m",
                                     "max_site_distance_vox", "min_weight",
+                                    "sites_from", "occupied_threshold",
                                     "interpret"),
                    donate_argnums=(3,))
-def _esdf_dense_fused(state, tsdf_distance, tsdf_weight, old_sq, origin_b,
+def _esdf_dense_fused(state, layer_a, layer_b, old_sq, origin_b,
                       c_lo, c_hi, *, dims_b, band: int, voxel_size_m: float,
                       max_site_distance_vox: float, min_weight: float,
-                      interpret: bool):
+                      sites_from: str = "tsdf",
+                      occupied_threshold: float = 0.0,
+                      interpret: bool = False):
     """sites -> exact banded EDT over the region -> splice, one program.
 
+    `layer_a`/`layer_b` are (tsdf_distance, tsdf_weight) or
+    (occupancy_log_odds, occupancy_observed) per `sites_from`.
     `origin_b`/`dims_b` bound the solved (read) region; `c_lo..c_hi` bound
     the blocks whose results are spliced into the persistent channel (the
     compute region — dirty blocks + band margin; see ops/esdf_dense.py on
     why this is exact)."""
     from isaac_ros_nvblox_tpu.ops.esdf_dense import esdf_from_sites_dense
-    is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
-        tsdf_distance, tsdf_weight, voxel_size_m=jnp.float32(voxel_size_m),
-        max_site_distance_vox=max_site_distance_vox, min_weight=min_weight)
+    if sites_from == "occupancy":
+        is_site, is_inside, observed = esdf_ops.esdf_sites_from_occupancy(
+            layer_a, layer_b > 0,
+            occupied_log_odds_threshold=occupied_threshold)
+    else:
+        is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+            layer_a, layer_b, voxel_size_m=jnp.float32(voxel_size_m),
+            max_site_distance_vox=max_site_distance_vox,
+            min_weight=min_weight)
     sq_new = esdf_from_sites_dense(
         is_site, state.block_index_of_slot, state.alloc_count, origin_b,
         dims_b=dims_b, band=band, interpret=interpret)
@@ -318,20 +600,47 @@ class DeviceMapper:
                  world: Optional[wg.WorldGridConfig] = None,
                  enable_color: bool = True,
                  enable_esdf: bool = True,
+                 enable_freespace: bool = False,
+                 projective_layer=None,
                  max_blocks_per_frame: int = 4096,
                  name: str = "device_mapper"):
+        from isaac_ros_nvblox_tpu.mapper.params import ProjectiveLayerType
         self.name = name
         self.voxel_size_m = float(voxel_size_m)
         self.params = params or MapperParams()
         self.world_config = world or wg.WorldGridConfig()
         self.state = wg.create_world_grid(self.world_config)
         self.max_blocks_per_frame = max_blocks_per_frame
+        self.projective_layer = (projective_layer
+                                 or ProjectiveLayerType.TSDF)
+        self._is_occupancy = (self.projective_layer
+                              == ProjectiveLayerType.OCCUPANCY)
         cap = self.world_config.capacity
 
-        self.channels: Dict[str, jnp.ndarray] = {
-            "tsdf_distance": jnp.zeros((cap, VOXELS_PER_BLOCK), jnp.float32),
-            "tsdf_weight": jnp.zeros((cap, VOXELS_PER_BLOCK), jnp.float32),
-        }
+        self.channels: Dict[str, jnp.ndarray] = {}
+        if self._is_occupancy:
+            self.channels["occupancy_log_odds"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.float32)
+            self.channels["occupancy_observed"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.uint8)
+            enable_color = False
+        else:
+            self.channels["tsdf_distance"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.float32)
+            self.channels["tsdf_weight"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.float32)
+        if enable_freespace and not self._is_occupancy:
+            self.channels["freespace_consecutive_ms"] = jnp.zeros(
+                (cap, VOXELS_PER_BLOCK), jnp.float32)
+            self.channels["freespace_last_occupied_ms"] = jnp.full(
+                (cap, VOXELS_PER_BLOCK), -1e9, jnp.float32)
+            # Honors initialize_to_high_confidence_freespace
+            # (mapper_initialization.cpp:430-463).
+            self.channels["freespace_high_confidence"] = jnp.full(
+                (cap, VOXELS_PER_BLOCK),
+                bool(self.params.freespace
+                     .initialize_to_high_confidence_freespace), jnp.bool_)
+            self._freespace_last_update_ms = 0.0
         if enable_color:
             # Planar r/g/b channels: the Pallas mesh kernel reads
             # per-channel pool rows directly (ops/mesh_pallas.py).
@@ -373,18 +682,40 @@ class DeviceMapper:
         return self.world_config.capacity
 
     def refresh_count(self) -> int:
-        """One scalar device->host sync; refreshes the cached block count."""
-        self._count_cache = int(self.state.alloc_count)
+        """One scalar device->host sync; refreshes the cached live count."""
+        self._count_cache = int(self.state.alloc_count) \
+            - int(self.state.free_count)
         return self._count_cache
 
+    def _view_bounds(self):
+        """Static workspace-bounds params, or None when unbounded."""
+        from isaac_ros_nvblox_tpu.ops.view import WorkspaceBoundsType
+        v = self.params.view
+        return (None if v.workspace_bounds_type == WorkspaceBoundsType
+                .UNBOUNDED else v)
+
+    def _reset_extra(self):
+        """Static per-channel reset overrides for freed slots."""
+        if "freespace_high_confidence" in self.channels:
+            return (("freespace_high_confidence",
+                     bool(self.params.freespace
+                          .initialize_to_high_confidence_freespace)),)
+        return ()
+
     # ------------------------------------------------------------ integrate
-    def integrate_depth(self, depth, T_L_C, camera: Camera) -> None:
+    def integrate_depth(self, depth, T_L_C, camera: Camera,
+                        mask=None, mask_mode: int = 1) -> None:
         """Fuse one depth frame. One fused jit dispatch, no host syncs.
 
-        View-grid test + allocation + view compaction + TSDF fusion + dirty
-        marking all live in a single compiled program: per-dispatch overhead
-        (milliseconds on tunneled devices) is paid once per frame, and XLA
-        fuses the elementwise stages.
+        View-grid test + allocation + view compaction + projective fusion
+        (TSDF or occupancy, per `projective_layer`) + dirty marking all
+        live in a single compiled program: per-dispatch overhead
+        (milliseconds on tunneled devices) is paid once per frame.
+
+        `mask` (u8[H,W], optional) restricts integration: mask_mode=1
+        integrates unmasked pixels (background), 2 the masked ones
+        (foreground) — the reference's masked integrateDepth
+        (nvblox_node.cpp:1057-1063).
         """
         if not isinstance(T_L_C, jax.Array):
             self._touch_region(np.asarray(T_L_C), camera)
@@ -392,20 +723,173 @@ class DeviceMapper:
             self._region_unknown = True
         depth = jnp.asarray(depth, jnp.float32)
         T_L_C = jnp.asarray(T_L_C, jnp.float32)
-        use_pallas = (jax.default_backend() == "tpu"
-                      if self.use_pallas_integrate is None
-                      else self.use_pallas_integrate)
-        self.state, d, w, self.dirty, self.esdf_dirty = _integrate_frame_fused(
-            self.state, self.channels["tsdf_distance"],
-            self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
-            depth, T_L_C,
-            camera=camera, voxel_size_m=self.voxel_size_m,
-            params=self.params.projective,
-            max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas)
-        self.channels["tsdf_distance"] = d
-        self.channels["tsdf_weight"] = w
+        mm = 0 if mask is None else int(mask_mode)
+        mask_j = (jnp.zeros((1, 1), jnp.uint8) if mask is None
+                  else jnp.asarray(mask))
+        if self._is_occupancy:
+            (self.state, lo, obs, self.dirty,
+             self.esdf_dirty) = _integrate_occupancy_fused(
+                self.state, self.channels["occupancy_log_odds"],
+                self.channels["occupancy_observed"], self.dirty,
+                self.esdf_dirty, depth, T_L_C, mask_j, camera=camera,
+                voxel_size_m=self.voxel_size_m, params=self.params.occupancy,
+                proj_max_distance_m=float(
+                    self.params.occupancy.max_integration_distance_m),
+                truncation_m=float(
+                    self.params.occupancy.occupied_region_half_width_m),
+                max_blocks=self.max_blocks_per_frame, mask_mode=mm,
+                view_params=self._view_bounds())
+            self.channels["occupancy_log_odds"] = lo
+            self.channels["occupancy_observed"] = obs
+        else:
+            use_pallas = (jax.default_backend() == "tpu"
+                          if self.use_pallas_integrate is None
+                          else self.use_pallas_integrate)
+            (self.state, d, w, self.dirty,
+             self.esdf_dirty) = _integrate_frame_fused(
+                self.state, self.channels["tsdf_distance"],
+                self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
+                depth, T_L_C, mask_j,
+                camera=camera, voxel_size_m=self.voxel_size_m,
+                params=self.params.projective,
+                max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas,
+                mask_mode=mm, view_params=self._view_bounds())
+            self.channels["tsdf_distance"] = d
+            self.channels["tsdf_weight"] = w
         self.last_depth_T_L_C = T_L_C
         self.last_depth_camera = camera
+
+    def integrate_pointcloud(self, points, T_L_S, lidar,
+                             timestamps_s=None, T_L_S_end=None) -> None:
+        """3D lidar integration, fully device-resident: (optional) motion
+        compensation -> spherical range image -> lidar view grid ->
+        allocation -> TSDF fusion (parity: nvblox_node.cpp:1339-1384).
+        """
+        if self._is_occupancy:
+            raise NotImplementedError(
+                "lidar integration requires a TSDF projective layer")
+        from isaac_ros_nvblox_tpu.models.lidar import (
+            motion_compensate_pointcloud, pointcloud_to_range_image)
+        if not isinstance(T_L_S, jax.Array):
+            self._touch_lidar_region(np.asarray(T_L_S), lidar)
+        else:
+            self._region_unknown = True
+        points = jnp.asarray(points, jnp.float32)
+        T_L_S = jnp.asarray(T_L_S, jnp.float32)
+        if timestamps_s is not None and T_L_S_end is not None:
+            points = motion_compensate_pointcloud(
+                points, jnp.asarray(timestamps_s, jnp.float32), T_L_S,
+                jnp.asarray(T_L_S_end, jnp.float32), lidar)
+            T_L_S = jnp.asarray(T_L_S_end, jnp.float32)
+        range_image = pointcloud_to_range_image(points, lidar)
+        (self.state, d, w, self.dirty,
+         self.esdf_dirty) = _integrate_lidar_fused(
+            self.state, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
+            range_image, T_L_S, lidar=lidar,
+            voxel_size_m=self.voxel_size_m, params=self.params.projective,
+            max_blocks=self.max_blocks_per_frame)
+        self.channels["tsdf_distance"] = d
+        self.channels["tsdf_weight"] = w
+
+    def _touch_lidar_region(self, T_L_S_np, lidar) -> None:
+        bs = self.voxel_size_m * B
+        r = min(self.params.projective.max_integration_distance_m,
+                lidar.max_valid_range_m)
+        o = np.asarray(T_L_S_np, np.float64)[:3, 3]
+        lo = np.floor((o - r) / bs).astype(np.int64) - 1
+        hi = np.floor((o + r) / bs).astype(np.int64) + 1
+        w_lo, w_hi = self._world_bounds()
+        self._touch_block_aabb(np.maximum(lo, w_lo), np.minimum(hi, w_hi))
+
+    # --------------------------------------------------------- decay / clear
+    def decay(self, max_free: int = 4096) -> None:
+        """Decay the projective layer and deallocate fully-decayed blocks
+        (storage recycled through the free stack). One fused dispatch."""
+        if self._is_occupancy:
+            (self.state, self.channels, self.dirty,
+             self.esdf_dirty) = _decay_occupancy_fused(
+                self.state, self.channels, self.dirty, self.esdf_dirty,
+                params=self.params.occupancy_decay, max_free=max_free,
+                dealloc_threshold=1e-3, reset_extra=self._reset_extra())
+        else:
+            p = self.params.tsdf_decay
+            has_view = (self.last_depth_T_L_C is not None
+                        and self.last_depth_camera is not None)
+            T = (self.last_depth_T_L_C if has_view
+                 else jnp.eye(4, dtype=jnp.float32))
+            (self.state, self.channels, self.dirty,
+             self.esdf_dirty) = _decay_tsdf_fused(
+                self.state, self.channels, self.dirty, self.esdf_dirty, T,
+                camera=self.last_depth_camera, voxel_size_m=self.voxel_size_m,
+                params=p, max_free=max_free, has_view=has_view,
+                reset_extra=self._reset_extra(),
+                view_distance_m=float(
+                    self.params.projective.max_integration_distance_m))
+        # Decay changes sites map-wide: the next ESDF update must re-solve
+        # the whole region (host-side dirty expansion, no device sync).
+        if self._aabb_lo is not None:
+            self._touch_block_aabb(self._aabb_lo, self._aabb_hi)
+
+    def clear_outside_radius(self, center_m, radius_m: float,
+                             max_free: int = 8192) -> None:
+        """Free every block outside the radius (parity: clearOutsideRadius,
+        nvblox_node.cpp:1566-1583)."""
+        (self.state, self.channels, self.dirty,
+         self.esdf_dirty) = _clear_outside_radius_fused(
+            self.state, self.channels, self.dirty, self.esdf_dirty,
+            jnp.asarray(center_m, jnp.float32), jnp.float32(radius_m),
+            voxel_size_m=self.voxel_size_m, max_free=max_free,
+            reset_extra=self._reset_extra())
+        if self._aabb_lo is not None:
+            self._touch_block_aabb(self._aabb_lo, self._aabb_hi)
+
+    def clear_tsdf_inside_shapes(self, spheres=(), aabbs=(),
+                                 max_shapes: int = 8) -> None:
+        """Clear (de-observe) TSDF voxels inside spheres/AABBs (parity:
+        clearTsdfInsideShapes, nvblox_node.cpp:1834)."""
+        if self._is_occupancy:
+            return
+        sp = np.zeros((max_shapes, 4), np.float32)
+        for i, (c, r) in enumerate(list(spheres)[:max_shapes]):
+            sp[i, :3] = c
+            sp[i, 3] = r
+        ab = np.zeros((max_shapes, 6), np.float32)
+        for i, (lo, hi) in enumerate(list(aabbs)[:max_shapes]):
+            ab[i, :3] = lo
+            ab[i, 3:] = hi
+        d, w, self.dirty, self.esdf_dirty = _clear_shapes_fused(
+            self.state, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
+            jnp.asarray(sp), jnp.asarray(ab),
+            voxel_size_m=self.voxel_size_m)
+        self.channels["tsdf_distance"] = d
+        self.channels["tsdf_weight"] = w
+        if self._aabb_lo is not None:
+            self._touch_block_aabb(self._aabb_lo, self._aabb_hi)
+
+    # ------------------------------------------------------------- freespace
+    def update_freespace(self, time_ms: float, T_L_C, camera: Camera) -> None:
+        """Freespace state-machine update over the current view (parity:
+        freespace integrator, mapper_initialization.cpp:430-463)."""
+        if "freespace_consecutive_ms" not in self.channels:
+            return
+        cons, last, hc = _freespace_fused(
+            self.channels["freespace_consecutive_ms"],
+            self.channels["freespace_last_occupied_ms"],
+            self.channels["freespace_high_confidence"],
+            self.state, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"],
+            jnp.asarray(T_L_C, jnp.float32), jnp.float32(time_ms),
+            jnp.float32(self._freespace_last_update_ms), camera=camera,
+            voxel_size_m=self.voxel_size_m, params=self.params.freespace,
+            view_distance_m=float(
+                self.params.projective.max_integration_distance_m),
+            max_blocks=self.max_blocks_per_frame)
+        self.channels["freespace_consecutive_ms"] = cons
+        self.channels["freespace_last_occupied_ms"] = last
+        self.channels["freespace_high_confidence"] = hc
+        self._freespace_last_update_ms = float(time_ms)
 
     def integrate_color(self, color_image, T_L_C, camera: Camera,
                         depth=None) -> None:
@@ -519,14 +1003,22 @@ class DeviceMapper:
             r_hi = np.maximum(np.minimum(c_hi + mb, a_hi), c_hi)
         dims_b = tuple(_bucket_blocks(int(h - l + 1))
                        for l, h in zip(r_lo, r_hi))
+        if self._is_occupancy:
+            layer_a = self.channels["occupancy_log_odds"]
+            layer_b = self.channels["occupancy_observed"]
+            sites_from = "occupancy"
+        else:
+            layer_a = self.channels["tsdf_distance"]
+            layer_b = self.channels["tsdf_weight"]
+            sites_from = "tsdf"
         sq, is_inside, observed = _esdf_dense_fused(
-            self.state, self.channels["tsdf_distance"],
-            self.channels["tsdf_weight"], self.channels["esdf_sq_dist"],
+            self.state, layer_a, layer_b, self.channels["esdf_sq_dist"],
             jnp.asarray(r_lo, jnp.int32), jnp.asarray(c_lo, jnp.int32),
             jnp.asarray(c_hi, jnp.int32), dims_b=dims_b, band=band,
             voxel_size_m=float(self.voxel_size_m),
             max_site_distance_vox=float(ep.max_site_distance_vox),
-            min_weight=float(ep.min_weight),
+            min_weight=float(ep.min_weight), sites_from=sites_from,
+            occupied_threshold=float(ep.occupied_log_odds_threshold),
             interpret=jax.default_backend() != "tpu")
         self.channels["esdf_sq_dist"] = sq
         self.channels["esdf_is_inside"] = is_inside
@@ -672,7 +1164,9 @@ class DeviceMapper:
         device arrays (for timing / downstream device use). No host
         compaction — see export_mesh.
         """
-        count = self._count_cache or self.refresh_count()
+        # Iterate to the slot high-water mark: freed slots are inert (zero
+        # weights) and produce no triangles.
+        count = int(self.state.alloc_count)
         results = []
         for start in range(0, max(count, 1), chunk):
             n = min(chunk, self.capacity)

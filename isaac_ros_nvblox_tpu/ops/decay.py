@@ -48,17 +48,20 @@ class OccupancyDecayParams:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "voxel_size_m", "camera"),
+                   static_argnames=("params", "voxel_size_m", "camera",
+                                    "view_distance_m"),
                    donate_argnums=(0, 1))
 def decay_tsdf(distance, weight, block_indices_all, T_L_C, *,
                params: TsdfDecayParams, voxel_size_m: float,
-               camera: Optional[Camera] = None
+               camera: Optional[Camera] = None,
+               view_distance_m: float = 7.0
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decay all TSDF weights; returns (distance, weight, block_max_weight).
 
     If `camera` is given and `params.exclude_last_view`, voxels inside the
-    camera frustum (positive z, projecting into the image, within max range)
-    are excluded — parity with decayTsdfExcludeLastView<Camera>.
+    camera frustum (positive z, projecting into the image, within
+    `view_distance_m`) are excluded — parity with
+    decayTsdfExcludeLastView<Camera>.
     `block_max_weight: f32[cap]` lets the host deallocate decayed blocks.
     """
     w = weight * params.decay_factor
@@ -66,6 +69,7 @@ def decay_tsdf(distance, weight, block_indices_all, T_L_C, *,
         centers = voxel_centers_for_blocks(block_indices_all, voxel_size_m)
         p_C = Transform.apply(Transform.inverse(T_L_C), centers)
         _, in_view = camera.project(p_C)
+        in_view = in_view & (p_C[..., 2] <= view_distance_m)
         w = jnp.where(in_view, weight, w)
     decayed = w < params.decayed_weight_threshold
     if params.set_free_distance_on_decayed:

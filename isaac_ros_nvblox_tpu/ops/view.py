@@ -36,7 +36,7 @@ class WorkspaceBoundsType(enum.Enum):
     BOUNDING_BOX = "bounding_box"
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ViewCalculatorParams:
     raycast_subsampling_factor: int = 4
     workspace_bounds_type: WorkspaceBoundsType = WorkspaceBoundsType.UNBOUNDED
@@ -156,6 +156,115 @@ def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
                                   axis=-1) < 1.5 * bs
     touched = touched | near_camera
     return touched.reshape(G, G, G), origin_block
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lidar", "voxel_size_m", "max_distance_m",
+                     "truncation_m"))
+def touched_block_grid_lidar(range_image, T_L_S, *, lidar,
+                             voxel_size_m: float, max_distance_m: float,
+                             truncation_m: float):
+    """Lidar variant of touched_block_grid: dense, scatter-free.
+
+    Same design as the camera version (evaluate the touch criterion per
+    grid cell against max-range coarse images of the scan) with the
+    spherical projection model (parity: the reference's lidar
+    ViewCalculator path, pointcloud_conversions.cu:86-149).
+    """
+    bs = block_size_m(voxel_size_m)
+    R = _grid_radius_blocks(max_distance_m, voxel_size_m)
+    G = 2 * R + 1
+    rows, cols = range_image.shape
+
+    origin = T_L_S[:3, 3]
+    origin_block = jnp.floor(origin / bs).astype(jnp.int32) - R
+
+    r_valid = jnp.where(jnp.isfinite(range_image) & (range_image > 0.0),
+                        range_image, 0.0)
+    # Coarse max-range images at two (row, col) pool levels with a 3x3
+    # overlap so a containing-cell sample covers +- one full cell.
+    def coarse(pr, pc):
+        pooled = jax.lax.reduce_window(r_valid, -jnp.inf, jax.lax.max,
+                                       (pr, pc), (pr, pc), "SAME")
+        return jax.lax.reduce_window(pooled, -jnp.inf, jax.lax.max,
+                                     (3, 3), (1, 1), "SAME")
+    lvl_a = (8, 32)
+    lvl_b = (32, 128)
+    coarse_a = coarse(*lvl_a)
+    coarse_b = coarse(*lvl_b)
+    global_max = jnp.max(r_valid)
+
+    ii = jax.lax.broadcasted_iota(jnp.float32, (G, G, G), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (G, G, G), 1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (G, G, G), 2)
+    centers = (jnp.stack([ii, jj, kk], -1)
+               + origin_block.astype(jnp.float32) + 0.5) * bs
+    p_S = Transform.apply(Transform.inverse(T_L_S),
+                          centers.reshape(-1, 3))
+    uv, r, valid = lidar.project(p_S)
+    u = uv[..., 0]
+    v = uv[..., 1]
+
+    # Angular footprint of a block at range r, in pixels.
+    eps = 1e-6
+    ang = bs / jnp.maximum(r, eps)  # radians subtended (approx)
+    px_per_rad_u = cols / (2.0 * np.pi)
+    px_per_rad_v = (lidar.num_elevation_divisions - 1) \
+        / max(lidar.elevation_range_rad, 1e-6)
+    fp_u = ang * px_per_rad_u
+    fp_v = ang * px_per_rad_v
+
+    def onehot_sample(img_l, pr, pc):
+        H_l, W_l = img_l.shape
+        cu = jnp.clip((u / pc).astype(jnp.int32), 0, W_l - 1)
+        cv = jnp.clip((v / pr).astype(jnp.int32), 0, H_l - 1)
+        cell = cv * W_l + cu
+        iota = jnp.arange(H_l * W_l, dtype=jnp.int32)
+        onehot = (cell[:, None] == iota[None, :]).astype(jnp.bfloat16)
+        return (onehot @ img_l.reshape(-1).astype(jnp.bfloat16)) \
+            .astype(jnp.float32)
+
+    max_a = onehot_sample(coarse_a, *lvl_a)
+    max_b = onehot_sample(coarse_b, *lvl_b)
+    fits_a = (fp_v <= 2.0 * lvl_a[0]) & (fp_u <= 2.0 * lvl_a[1])
+    fits_b = (fp_v <= 2.0 * lvl_b[0]) & (fp_u <= 2.0 * lvl_b[1])
+    maxr = jnp.where(fits_a, max_a, jnp.where(fits_b, max_b, global_max))
+
+    margin = truncation_m + bs * float(np.sqrt(3.0) / 2.0)
+    touched = valid & (r <= max_distance_m + bs) \
+        & (r <= maxr + margin) & (maxr > 0.0)
+    near_sensor = jnp.linalg.norm(centers.reshape(-1, 3) - origin,
+                                  axis=-1) < 1.5 * bs
+    touched = touched | near_sensor
+    return touched.reshape(G, G, G), origin_block
+
+
+def apply_workspace_bounds_to_grid(grid, origin_block, *, voxel_size_m: float,
+                                   params: "ViewCalculatorParams"):
+    """Mask a touched-block grid by the configured workspace bounds.
+
+    Device-path equivalent of apply_workspace_bounds (the reference's
+    ViewCalculator workspace bounds, mapper_initialization.cpp:330-358):
+    blocks not intersecting the workspace are never allocated/integrated.
+    """
+    if params.workspace_bounds_type == WorkspaceBoundsType.UNBOUNDED:
+        return grid
+    bs = block_size_m(voxel_size_m)
+    G = grid.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2)
+    cells = jnp.stack([ii, jj, kk], -1) + origin_block
+    lo_m = cells.astype(jnp.float32) * bs
+    hi_m = lo_m + bs
+    w_lo = jnp.asarray(params.workspace_bounds_min_corner_m, jnp.float32)
+    w_hi = jnp.asarray(params.workspace_bounds_max_corner_m, jnp.float32)
+    if params.workspace_bounds_type == WorkspaceBoundsType.HEIGHT_BOUNDS:
+        keep = (hi_m[..., 2] > w_lo[2]) & (lo_m[..., 2] < w_hi[2])
+    else:
+        keep = jnp.all((hi_m > w_lo) & (lo_m < w_hi), axis=-1)
+    return grid & keep
 
 
 def frustum_block_aabb(T_L_C_np: np.ndarray, camera: Camera,

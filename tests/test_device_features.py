@@ -1,0 +1,243 @@
+"""DeviceMapper v2 features: recycling, decay, occupancy, masks, lidar,
+freespace, clearing, workspace bounds — all on the device-resident path."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from isaac_ros_nvblox_tpu.core import world_grid as wg
+from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
+from isaac_ros_nvblox_tpu.mapper.params import MapperParams, ProjectiveLayerType
+from isaac_ros_nvblox_tpu.models.camera import Camera
+from isaac_ros_nvblox_tpu.models.scene import (Scene, Sphere, orbit_pose,
+                                               render_depth)
+
+VOXEL = 0.05
+CAM = Camera(fx=120.0, fy=120.0, cx=59.5, cy=44.5, width=120, height=90)
+WORLD = wg.WorldGridConfig(dims=(64, 64, 32), capacity=4096,
+                           origin_block=(-32, -32, -8))
+
+
+def _scene():
+    return Scene(primitives=(Sphere(center=(0.0, 0.0, 1.2), radius=0.5),))
+
+
+def _mapper(**kw):
+    kw.setdefault("world", WORLD)
+    kw.setdefault("enable_color", False)
+    kw.setdefault("enable_esdf", True)
+    return DeviceMapper(voxel_size_m=VOXEL, **kw)
+
+
+def _frame(scene, t=0.0):
+    T = orbit_pose(t, radius=1.8, height=1.2, target=(0, 0, 1.2))
+    return np.asarray(render_depth(scene, CAM, jnp.asarray(T))), T
+
+
+def test_slot_recycling_roundtrip():
+    m = _mapper()
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    n0 = m.block_count()
+    high_water0 = int(m.state.alloc_count)
+    assert n0 > 50
+    # Clear everything (radius 0 around origin frees all blocks).
+    m.clear_outside_radius((0.0, 0.0, 0.0), 1e-3)
+    assert m.block_count() == 0
+    assert int(m.state.free_count) == high_water0
+    # Channels of freed slots were reset.
+    assert float(jnp.max(m.channels["tsdf_weight"])) == 0.0
+    assert float(jnp.min(m.channels["esdf_sq_dist"])) >= 1e11
+    # Re-integrating reuses freed slots: high-water must not grow.
+    m.integrate_depth(depth, T, CAM)
+    assert m.block_count() == n0
+    assert int(m.state.alloc_count) == high_water0
+    assert int(m.state.free_count) == 0
+    # And the map contents are correct again (sites exist).
+    m.update_esdf(full=True)
+    sq = np.asarray(m.channels["esdf_sq_dist"])
+    assert (sq == 0.0).any()
+
+
+def test_tsdf_decay_and_deallocation():
+    m = _mapper()
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    n0 = m.block_count()
+    w0 = np.asarray(m.channels["tsdf_weight"])
+    # Point the "last view" away from the map so nothing is excluded.
+    away = orbit_pose(0.0, radius=2.0, height=1.2, target=(50.0, 0, 1.2))
+    m.last_depth_T_L_C = jnp.asarray(away, jnp.float32)
+    for _ in range(200):
+        m.decay()
+    w1 = np.asarray(m.channels["tsdf_weight"])
+    assert w1.max() < max(w0.max() * 0.01, 1e-2)
+    # Fully-decayed blocks were deallocated and recycled.
+    assert m.block_count() < n0 // 4
+
+
+def test_tsdf_decay_excludes_last_view():
+    m = _mapper()
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    w0 = np.asarray(m.channels["tsdf_weight"])
+    m.decay()  # last view = the integrated frame -> in-view voxels kept
+    w1 = np.asarray(m.channels["tsdf_weight"])
+    observed = w0 > 0.5
+    # Most observed voxels sit in the last view and must be untouched.
+    unchanged = np.isclose(w1[observed], w0[observed]).mean()
+    assert unchanged > 0.9
+
+
+def test_occupancy_device_layer():
+    m = _mapper(projective_layer=ProjectiveLayerType.OCCUPANCY)
+    scene = _scene()
+    for k in range(2):
+        depth, T = _frame(scene, t=0.4 * k)
+        m.integrate_depth(depth, T, CAM)
+    lo = np.asarray(m.channels["occupancy_log_odds"])
+    obs = np.asarray(m.channels["occupancy_observed"])
+    assert (lo > 0.5).any()        # occupied at the surface
+    assert (lo < -0.5).any()       # free along rays
+    assert obs.any()
+    # ESDF from occupancy sites.
+    m.update_esdf(full=True)
+    sq = np.asarray(m.channels["esdf_sq_dist"])
+    assert (sq == 0.0).any() and ((sq > 0) & (sq < 1e11)).any()
+    # Occupancy decay pulls log odds toward zero and can deallocate.
+    for _ in range(100):
+        m.decay()
+    lo2 = np.asarray(m.channels["occupancy_log_odds"])
+    assert np.abs(lo2).max() <= 0.51
+    assert m.block_count() == 0  # everything decayed away
+
+
+def test_masked_integrate_splits_foreground():
+    scene = _scene()
+    depth, T = _frame(scene)
+    # Mask the center region (the sphere) as foreground.
+    mask = np.zeros(depth.shape, np.uint8)
+    mask[30:60, 40:80] = 1
+
+    bg = _mapper()
+    fg = _mapper(projective_layer=ProjectiveLayerType.OCCUPANCY)
+    bg.integrate_depth(depth, T, CAM, mask=mask, mask_mode=1)
+    fg.integrate_depth(depth, T, CAM, mask=mask, mask_mode=2)
+
+    full = _mapper()
+    full.integrate_depth(depth, T, CAM)
+    # The background map must have strictly fewer observed voxels than the
+    # unmasked one; the foreground occupancy map must have content.
+    assert (np.asarray(bg.channels["tsdf_weight"]) > 0).sum() \
+        < (np.asarray(full.channels["tsdf_weight"]) > 0).sum()
+    assert (np.asarray(fg.channels["occupancy_log_odds"]) > 0.5).any()
+
+
+def test_lidar_device_integration():
+    from isaac_ros_nvblox_tpu.models.lidar import Lidar
+    lidar = Lidar.equal_vertical_fov(num_azimuth=512, num_elevation=32,
+                                     vertical_fov_rad=np.deg2rad(40.0),
+                                     min_range_m=0.3, max_range_m=20.0)
+    # Synthetic cylindrical wall at 3 m around the sensor at height 1.0.
+    az = np.linspace(-np.pi, np.pi, 2048, endpoint=False)
+    el = np.linspace(-0.25, 0.25, 24)
+    azg, elg = np.meshgrid(az, el)
+    r = 3.0 / np.cos(elg)  # wall is vertical -> range grows with elevation
+    pts = np.stack([r * np.cos(elg) * np.cos(azg),
+                    r * np.cos(elg) * np.sin(azg),
+                    r * np.sin(elg)], -1).reshape(-1, 3)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 1.0  # sensor 1 m up
+    m = _mapper()
+    m.integrate_pointcloud(pts, T, lidar)
+    assert m.block_count() > 50
+    # TSDF near the wall (radius 3) crosses zero.
+    from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+    n = m.block_count()
+    bidx = np.asarray(m.state.block_index_of_slot)[:n]
+    centers = np.asarray(voxel_centers_for_blocks(jnp.asarray(bidx), VOXEL))
+    d = np.asarray(m.channels["tsdf_distance"])[:n]
+    w = np.asarray(m.channels["tsdf_weight"])[:n]
+    rad = np.linalg.norm(centers[..., :2], axis=-1)
+    # Inverse-square weighting gives w ~ 1/9 at 3 m from one scan.
+    near_wall = (np.abs(rad - 3.0) < 0.04) & (w > 0.05) \
+        & (np.abs(centers[..., 2] - 1.0) < 0.3)
+    assert near_wall.sum() > 100
+    assert np.abs(d[near_wall]).mean() < 0.1
+
+
+def test_freespace_device_state_machine():
+    from isaac_ros_nvblox_tpu.ops.freespace import FreespaceIntegratorParams
+    params = MapperParams(freespace=FreespaceIntegratorParams(
+        min_duration_since_occupied_for_freespace_ms=100.0,
+        check_neighborhood=False))
+    m = _mapper(params=params, enable_freespace=True)
+    scene = _scene()
+    depth, T = _frame(scene)
+    m.integrate_depth(depth, T, CAM)
+    for t_ms in (0.0, 60.0, 120.0, 200.0):
+        m.update_freespace(t_ms, T, CAM)
+    hc = np.asarray(m.channels["freespace_high_confidence"])
+    w = np.asarray(m.channels["tsdf_weight"])
+    d = np.asarray(m.channels["tsdf_distance"])
+    free_observed = (w > 0.5) & (d > 0.2)
+    assert hc[free_observed].mean() > 0.5   # free space promoted
+    occupied = (w > 0.5) & (d < 0.0)
+    assert hc[occupied].mean() < 0.1        # surfaces not freespace
+
+
+def test_freespace_check_neighborhood_suppresses_thin_noise():
+    """With check_neighborhood, occupancy dilates: voxels adjacent to the
+    surface also count occupied, so fewer near-surface promotions."""
+    from isaac_ros_nvblox_tpu.ops.freespace import FreespaceIntegratorParams
+    base = dict(min_duration_since_occupied_for_freespace_ms=50.0)
+    scene = _scene()
+    depth, T = _frame(scene)
+    hcs = {}
+    for check in (False, True):
+        params = MapperParams(freespace=FreespaceIntegratorParams(
+            check_neighborhood=check, **base))
+        m = _mapper(params=params, enable_freespace=True)
+        m.integrate_depth(depth, T, CAM)
+        for t_ms in (0.0, 80.0, 160.0):
+            m.update_freespace(t_ms, T, CAM)
+        hcs[check] = np.asarray(m.channels["freespace_high_confidence"]).sum()
+    assert hcs[True] < hcs[False]
+
+
+def test_clear_tsdf_inside_shapes():
+    m = _mapper()
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+    n = m.block_count()
+    bidx = np.asarray(m.state.block_index_of_slot)[:n]
+    centers = np.asarray(voxel_centers_for_blocks(jnp.asarray(bidx), VOXEL))
+    w0 = np.asarray(m.channels["tsdf_weight"])[:n]
+    inside = np.linalg.norm(centers - np.array([0, 0, 1.2]), axis=-1) <= 0.7
+    assert (w0[inside] > 0).any()
+    m.clear_tsdf_inside_shapes(spheres=[((0.0, 0.0, 1.2), 0.7)])
+    w1 = np.asarray(m.channels["tsdf_weight"])[:n]
+    assert (w1[inside] == 0).all()
+    outside_far = np.linalg.norm(centers - np.array([0, 0, 1.2]),
+                                 axis=-1) > 0.8
+    np.testing.assert_array_equal(w1[outside_far], w0[outside_far])
+
+
+def test_workspace_bounds_on_device_path():
+    from isaac_ros_nvblox_tpu.ops.view import (ViewCalculatorParams,
+                                               WorkspaceBoundsType)
+    params = MapperParams(view=ViewCalculatorParams(
+        workspace_bounds_type=WorkspaceBoundsType.HEIGHT_BOUNDS,
+        workspace_bounds_min_corner_m=(0, 0, 0.8),
+        workspace_bounds_max_corner_m=(0, 0, 1.6)))
+    m = _mapper(params=params)
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    n = m.block_count()
+    assert n > 0
+    bidx = np.asarray(m.state.block_index_of_slot)[:n]
+    z_lo = bidx[:, 2] * 8 * VOXEL
+    z_hi = z_lo + 8 * VOXEL
+    assert (z_hi > 0.8).all() and (z_lo < 1.6).all()
