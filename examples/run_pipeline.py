@@ -108,7 +108,7 @@ def main():
     mv.write_html(out / "mesh.html", v, c, tri)
 
     print(f"frames: {n} in {wall:.1f}s | "
-          f"blocks: {node.multi_mapper.static_mapper.table.num_allocated} | "
+          f"blocks: {node.multi_mapper.static_mapper.block_count()} | "
           f"published: {stats} | "
           f"costmap has data: {costmap.has_data}")
     print(f"outputs in {out}: mesh.ply, tsdf.ply, esdf.ply, map.png, "

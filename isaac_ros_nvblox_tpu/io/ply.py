@@ -111,3 +111,41 @@ def write_voxel_layer_ply(path, mapper, channel: str,
         raise ValueError(f"unknown channel {channel!r}")
     write_pointcloud_ply(path, centers[mask], vals[mask])
     return int(mask.sum())
+
+
+def write_voxel_layer_ply_device(path, m, channel: str,
+                                 min_weight: float = 1e-4) -> int:
+    """write_voxel_layer_ply for a DeviceMapper (channels dict + WorldGrid)."""
+    from isaac_ros_nvblox_tpu.core import world_grid as wg
+    from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+    import jax.numpy as jnp
+
+    live = np.asarray(wg.live_slot_mask(m.state))
+    slots = np.nonzero(live)[0]
+    if slots.size == 0:
+        write_pointcloud_ply(path, np.zeros((0, 3), np.float32),
+                             np.zeros((0,), np.float32))
+        return 0
+    bidx = np.asarray(m.state.block_index_of_slot)[slots]
+    centers = np.asarray(voxel_centers_for_blocks(
+        jnp.asarray(bidx), m.voxel_size_m)).reshape(-1, 3)
+    ch = {k: np.asarray(v)[slots] for k, v in m.channels.items()}
+    if channel == "esdf":
+        sq = np.minimum(ch["esdf_sq_dist"], 1e12)
+        vals = np.minimum(np.sqrt(sq) * m.voxel_size_m,
+                          m.params.esdf.max_esdf_distance_m)
+        vals = np.where(ch["esdf_is_inside"], -vals, vals).reshape(-1)
+        mask = ch["esdf_observed"].reshape(-1).astype(bool)
+    elif channel == "tsdf":
+        vals = ch["tsdf_distance"].reshape(-1)
+        mask = ch["tsdf_weight"].reshape(-1) >= min_weight
+    elif channel == "occupancy":
+        vals = ch["occupancy_log_odds"].reshape(-1)
+        mask = ch["occupancy_observed"].reshape(-1) > 0
+    elif channel == "freespace":
+        vals = ch["freespace_high_confidence"].reshape(-1).astype(np.float32)
+        mask = np.ones_like(vals, bool)
+    else:
+        raise ValueError(f"unknown channel {channel!r}")
+    write_pointcloud_ply(path, centers[mask], vals[mask].astype(np.float32))
+    return int(mask.sum())

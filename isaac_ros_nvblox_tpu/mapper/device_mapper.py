@@ -185,16 +185,28 @@ def _reset_rows(channels: Dict[str, jnp.ndarray], slots,
     return out
 
 
-def _free_mask(state, channels, dirty, esdf_dirty, dead, *, max_free: int,
-               reset_extra=()):
-    """Free all slots where `dead` (bool[cap]) and reset their channels."""
+def _free_mask(state, channels, dirty, esdf_dirty, removed, dead, *,
+               max_free: int, reset_extra=()):
+    """Free all slots where `dead` (bool[cap]) and reset their channels.
+
+    `removed` = (log i32[K, 3], count i32[]) — a device-side ring of freed
+    block indices so publishers can emit `removed_blocks` messages without
+    a per-free host sync (parity: Mapper::getClearedBlocks,
+    layer_publishing.cpp:715-716)."""
     cap = dead.shape[0]
+    log, count = removed
     (idx,) = jnp.nonzero(dead, size=max_free, fill_value=cap)
-    state = wg.free_slots(state, jnp.where(idx < cap, idx, -1))
+    ok = idx < cap
+    bidx_freed = state.block_index_of_slot[jnp.clip(idx, 0, cap - 1)]
+    order = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    pos = jnp.where(ok, (count + order) % log.shape[0], log.shape[0])
+    log = log.at[pos].set(bidx_freed, mode="drop")
+    count = count + jnp.sum(ok.astype(jnp.int32))
+    state = wg.free_slots(state, jnp.where(ok, idx, -1))
     channels = _reset_rows(channels, idx, reset_extra)
     dirty = dirty.at[idx].set(False, mode="drop")
     esdf_dirty = esdf_dirty.at[idx].set(False, mode="drop")
-    return state, channels, dirty, esdf_dirty
+    return state, channels, dirty, esdf_dirty, (log, count)
 
 
 @functools.partial(jax.jit,
@@ -202,7 +214,7 @@ def _free_mask(state, channels, dirty, esdf_dirty, dead, *, max_free: int,
                                     "max_free", "has_view", "reset_extra",
                                     "view_distance_m"),
                    donate_argnums=(1, 2, 3))
-def _decay_tsdf_fused(state, channels, dirty, esdf_dirty, T_L_C, *,
+def _decay_tsdf_fused(state, channels, dirty, esdf_dirty, removed, T_L_C, *,
                       camera, voxel_size_m: float, params, max_free: int,
                       has_view: bool, reset_extra=(),
                       view_distance_m: float = 7.0):
@@ -231,18 +243,17 @@ def _decay_tsdf_fused(state, channels, dirty, esdf_dirty, T_L_C, *,
         p_C = Transform.apply(Transform.inverse(T_L_C), centers)
         _, in_view = camera.project(p_C[:, None, :])
         dead = dead & ~in_view[:, 0]
-    state, channels, dirty, esdf_dirty = _free_mask(
-        state, channels, dirty, esdf_dirty, dead, max_free=max_free,
+    return _free_mask(
+        state, channels, dirty, esdf_dirty, removed, dead, max_free=max_free,
         reset_extra=reset_extra)
-    return state, channels, dirty, esdf_dirty
 
 
 @functools.partial(jax.jit,
                    static_argnames=("params", "max_free",
                                     "dealloc_threshold", "reset_extra"),
                    donate_argnums=(1, 2, 3))
-def _decay_occupancy_fused(state, channels, dirty, esdf_dirty, *, params,
-                           max_free: int, dealloc_threshold: float,
+def _decay_occupancy_fused(state, channels, dirty, esdf_dirty, removed, *,
+                           params, max_free: int, dealloc_threshold: float,
                            reset_extra=()):
     """Occupancy log-odds decay toward the prior + deallocation."""
     from isaac_ros_nvblox_tpu.ops.decay import decay_occupancy
@@ -251,17 +262,16 @@ def _decay_occupancy_fused(state, channels, dirty, esdf_dirty, *, params,
     channels = dict(channels, occupancy_log_odds=lo)
     live = wg.live_slot_mask(state)
     dead = live & (block_max < dealloc_threshold)
-    state, channels, dirty, esdf_dirty = _free_mask(
-        state, channels, dirty, esdf_dirty, dead, max_free=max_free,
+    return _free_mask(
+        state, channels, dirty, esdf_dirty, removed, dead, max_free=max_free,
         reset_extra=reset_extra)
-    return state, channels, dirty, esdf_dirty
 
 
 @functools.partial(jax.jit, static_argnames=("max_free", "voxel_size_m",
                                              "reset_extra"),
                    donate_argnums=(1, 2, 3))
-def _clear_outside_radius_fused(state, channels, dirty, esdf_dirty, center_m,
-                                radius_m, *, voxel_size_m: float,
+def _clear_outside_radius_fused(state, channels, dirty, esdf_dirty, removed,
+                                center_m, radius_m, *, voxel_size_m: float,
                                 max_free: int, reset_extra=()):
     """Free every block whose center lies outside the given radius
     (parity: clearOutsideRadius, nvblox_node.cpp:1566-1583)."""
@@ -269,7 +279,7 @@ def _clear_outside_radius_fused(state, channels, dirty, esdf_dirty, center_m,
     centers = (state.block_index_of_slot.astype(jnp.float32) + 0.5) * bs
     dist = jnp.linalg.norm(centers - center_m[None, :], axis=1)
     dead = wg.live_slot_mask(state) & (dist > radius_m)
-    return _free_mask(state, channels, dirty, esdf_dirty, dead,
+    return _free_mask(state, channels, dirty, esdf_dirty, removed, dead,
                       max_free=max_free, reset_extra=reset_extra)
 
 
@@ -434,7 +444,19 @@ def _mesh_dirty_fused(state, dirty, tsdf_distance, tsdf_weight, color_rows, *,
         tsdf_distance, tsdf_weight, color_rows, nbr8,
         (slots < cap).astype(jnp.int32), min_weight=min_weight,
         with_color=with_color, interpret=interpret)
-    return verts, colors, bidx
+    return verts, colors, bidx, slots
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size_m",))
+def _voxel_z_band_mask(state, min_height_m, max_height_m, *,
+                       voxel_size_m: float):
+    """bool[cap, 512]: voxel center z within [min_height, max_height]."""
+    cap = state.block_index_of_slot.shape[0]
+    lz = (jax.lax.broadcasted_iota(jnp.int32, (1, VOXELS_PER_BLOCK), 1)
+          % B).astype(jnp.float32)
+    z = ((state.block_index_of_slot[:, 2:3].astype(jnp.float32) * B + lz
+          + 0.5) * voxel_size_m)
+    return (z >= min_height_m) & (z <= max_height_m)
 
 
 def _bucket_blocks(n: int, mult: int = 8) -> int:
@@ -534,7 +556,7 @@ def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs,
                 st, ch, dt = args
                 color_rows = ((ch["color_r"], ch["color_g"], ch["color_b"])
                               if with_color else None)
-                verts, colors, _ = _mesh_dirty_fused(
+                verts, colors, _, _ = _mesh_dirty_fused(
                     st, dt, ch["tsdf_distance"], ch["tsdf_weight"],
                     color_rows, min_weight=mesh_min_weight,
                     max_blocks=mesh_max_blocks, with_color=with_color,
@@ -656,6 +678,10 @@ class DeviceMapper:
                 (cap, VOXELS_PER_BLOCK), jnp.bool_)
         self.dirty = jnp.zeros((cap,), jnp.bool_)       # mesh-dirty slots
         self.esdf_dirty = jnp.zeros((cap,), jnp.bool_)  # esdf-dirty slots
+        # Ring log of freed block indices for removed_blocks publishing.
+        self.removed_log = jnp.zeros((cap, 3), jnp.int32)
+        self.removed_count = jnp.zeros((), jnp.int32)
+        self._removed_read = 0  # host cursor into the ring
 
         self.mesh_layer = MeshLayer(self.voxel_size_m, self.params.mesh)
         # None = auto (pallas on TPU); tests can force either path.
@@ -807,9 +833,10 @@ class DeviceMapper:
         """Decay the projective layer and deallocate fully-decayed blocks
         (storage recycled through the free stack). One fused dispatch."""
         if self._is_occupancy:
-            (self.state, self.channels, self.dirty,
-             self.esdf_dirty) = _decay_occupancy_fused(
+            (self.state, self.channels, self.dirty, self.esdf_dirty,
+             (self.removed_log, self.removed_count)) = _decay_occupancy_fused(
                 self.state, self.channels, self.dirty, self.esdf_dirty,
+                (self.removed_log, self.removed_count),
                 params=self.params.occupancy_decay, max_free=max_free,
                 dealloc_threshold=1e-3, reset_extra=self._reset_extra())
         else:
@@ -818,9 +845,10 @@ class DeviceMapper:
                         and self.last_depth_camera is not None)
             T = (self.last_depth_T_L_C if has_view
                  else jnp.eye(4, dtype=jnp.float32))
-            (self.state, self.channels, self.dirty,
-             self.esdf_dirty) = _decay_tsdf_fused(
-                self.state, self.channels, self.dirty, self.esdf_dirty, T,
+            (self.state, self.channels, self.dirty, self.esdf_dirty,
+             (self.removed_log, self.removed_count)) = _decay_tsdf_fused(
+                self.state, self.channels, self.dirty, self.esdf_dirty,
+                (self.removed_log, self.removed_count), T,
                 camera=self.last_depth_camera, voxel_size_m=self.voxel_size_m,
                 params=p, max_free=max_free, has_view=has_view,
                 reset_extra=self._reset_extra(),
@@ -835,9 +863,10 @@ class DeviceMapper:
                              max_free: int = 8192) -> None:
         """Free every block outside the radius (parity: clearOutsideRadius,
         nvblox_node.cpp:1566-1583)."""
-        (self.state, self.channels, self.dirty,
-         self.esdf_dirty) = _clear_outside_radius_fused(
+        (self.state, self.channels, self.dirty, self.esdf_dirty,
+         (self.removed_log, self.removed_count)) = _clear_outside_radius_fused(
             self.state, self.channels, self.dirty, self.esdf_dirty,
+            (self.removed_log, self.removed_count),
             jnp.asarray(center_m, jnp.float32), jnp.float32(radius_m),
             voxel_size_m=self.voxel_size_m, max_free=max_free,
             reset_extra=self._reset_extra())
@@ -1027,6 +1056,53 @@ class DeviceMapper:
         self._dirty_lo = self._dirty_hi = None
         self._esdf_has_full = self._esdf_has_full or full
 
+    def update_esdf_2d(self, min_height_m: float, max_height_m: float) -> None:
+        """2D ESDF (EsdfMode 2d): sites restricted to the height band
+        [min_height_m, max_height_m], planar distances (parity:
+        mapper_initialization.cpp:197-200; the esdf_2d_min/max_height
+        params). Result stored as self.esdf_2d = (origin_xy_blocks, sq2d,
+        inside2d, observed2d) for the 2D slicer."""
+        from isaac_ros_nvblox_tpu.ops.esdf_dense import (collapse_2d_mask,
+                                                         esdf_2d_from_sites)
+        if self._region_unknown and not self._refresh_region_from_device():
+            return
+        if self._aabb_lo is None:
+            return
+        ep = self.params.esdf
+        band = self.esdf_band_vox
+        a_lo, a_hi = self._aabb_lo, self._aabb_hi
+        dims_b = (_bucket_blocks(int(a_hi[0] - a_lo[0] + 1)),
+                  _bucket_blocks(int(a_hi[1] - a_lo[1] + 1)))
+        origin = jnp.asarray([a_lo[0], a_lo[1], 0], jnp.int32)
+        if self._is_occupancy:
+            is_site, is_inside, observed = esdf_ops.esdf_sites_from_occupancy(
+                self.channels["occupancy_log_odds"],
+                self.channels["occupancy_observed"] > 0,
+                occupied_log_odds_threshold=float(
+                    ep.occupied_log_odds_threshold))
+        else:
+            is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+                self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+                voxel_size_m=jnp.float32(self.voxel_size_m),
+                max_site_distance_vox=float(ep.max_site_distance_vox),
+                min_weight=float(ep.min_weight))
+        z_ok = _voxel_z_band_mask(
+            self.state, jnp.float32(min_height_m),
+            jnp.float32(max_height_m), voxel_size_m=self.voxel_size_m)
+        interp = jax.default_backend() != "tpu"
+        sq2d = esdf_2d_from_sites(
+            is_site, z_ok, self.state.block_index_of_slot,
+            self.state.alloc_count, origin, dims_b=dims_b, band=band,
+            interpret=interp)
+        inside2d = collapse_2d_mask(
+            is_inside, z_ok, self.state.block_index_of_slot,
+            self.state.alloc_count, origin, dims_b=dims_b)
+        observed2d = collapse_2d_mask(
+            observed, z_ok, self.state.block_index_of_slot,
+            self.state.alloc_count, origin, dims_b=dims_b)
+        self.esdf_2d = ((int(a_lo[0]), int(a_lo[1])), sq2d, inside2d,
+                        observed2d)
+
     # --------------------------------------------------------------- replay
     def esdf_region(self, margin_blocks: int = 2):
         """(origin, dims) covering the current allocated AABB + margin.
@@ -1119,7 +1195,8 @@ class DeviceMapper:
         return verts, colors, valid & in_range[:, None, None]
 
     def update_mesh_dirty_device(self, max_blocks: int = 2048,
-                                 use_pallas: Optional[bool] = None):
+                                 use_pallas: Optional[bool] = None,
+                                 return_slots: bool = False):
         """Incremental device marching cubes over dirty blocks only.
 
         This is the per-frame meshing path (reference parity: incremental
@@ -1142,7 +1219,7 @@ class DeviceMapper:
                            self.channels["color_g"],
                            self.channels["color_b"])
                           if with_color else None)
-            verts, colors, bidx = _mesh_dirty_fused(
+            verts, colors, bidx, slots = _mesh_dirty_fused(
                 self.state, self.dirty, self.channels["tsdf_distance"],
                 self.channels["tsdf_weight"], color_rows,
                 min_weight=float(self.params.mesh.min_weight),
@@ -1150,11 +1227,15 @@ class DeviceMapper:
                 interpret=jax.default_backend() != "tpu")
             self.dirty = jnp.zeros_like(self.dirty)
             mask = verts[:, 0] >= 0
+            if return_slots:
+                return verts, colors, mask, bidx, slots
             return verts, colors, mask, bidx
         slots, bidx = _compact_dirty(self.state, self.dirty,
                                      max_blocks=max_blocks)
         verts, colors, valid = self._mesh_chunk(slots, bidx)
         self.dirty = jnp.zeros_like(self.dirty)
+        if return_slots:
+            return verts, colors, valid, bidx, slots
         return verts, colors, valid, bidx
 
     def update_mesh_device(self, chunk: int = 2048):

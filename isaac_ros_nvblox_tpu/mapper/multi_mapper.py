@@ -5,12 +5,15 @@ routing call-sites nvblox_node.cpp:187-210, 1057-1063, 1260-1265,
 1382-1384) — owns a background mapper (TSDF or occupancy) and, in
 dynamic/human modes, a foreground occupancy mapper fed by masked depth:
 
-  * human modes: the mask comes from a people-segmentation DNN;
+  * human modes: the mask comes from a people-segmentation DNN (optionally
+    from a different camera than depth — `T_CM_CD` + mask intrinsics);
   * dynamic mode: the mask is derived from the freespace layer — depth
     points landing inside high-confidence freespace are dynamic.
 
-Also hosts the ground-plane estimator and the dynamic debug outputs
-(last dynamic pointcloud / mask overlays, nvblox_node.cpp:1098-1147).
+Round 2: both mappers are device-resident DeviceMappers (zero host round
+trips on the integration path). Also hosts the ground-plane estimator
+(feeding ESDF slicing-above-plane, nvblox_node.cpp:1455-1474) and the
+dynamic debug outputs (nvblox_node.cpp:1098-1147).
 """
 
 from __future__ import annotations
@@ -22,21 +25,85 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from isaac_ros_nvblox_tpu.mapper.mapper import Mapper
-from isaac_ros_nvblox_tpu.mapper.params import (MappingType, MultiMapperParams,
+from isaac_ros_nvblox_tpu.core import world_grid as wg
+from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
+from isaac_ros_nvblox_tpu.mapper.params import (EsdfMode, MappingType,
+                                                MultiMapperParams,
                                                 ProjectiveLayerType,
                                                 projective_layer_type)
-from isaac_ros_nvblox_tpu.models.camera import Camera
-from isaac_ros_nvblox_tpu.models.lidar import (Lidar,
-                                               motion_compensate_pointcloud,
-                                               pointcloud_to_range_image)
+from isaac_ros_nvblox_tpu.models.camera import Camera, sample_image_nearest
+from isaac_ros_nvblox_tpu.models.lidar import Lidar
+from isaac_ros_nvblox_tpu.ops.ground_plane import (GroundPlaneEstimator,
+                                                   Plane)
 from isaac_ros_nvblox_tpu.ops.masking import (mask_overlay,
-                                              remove_small_connected_components,
-                                              split_depth_by_mask)
+                                              remove_small_connected_components)
+
+
+def _default_world(capacity: int) -> wg.WorldGridConfig:
+    return wg.WorldGridConfig(dims=(128, 128, 32), capacity=capacity,
+                              origin_block=(-64, -64, -8))
+
+
+@functools.partial(jax.jit, static_argnames=("depth_camera", "mask_camera"))
+def reproject_mask(depth, mask, T_CM_CD, *, depth_camera: Camera,
+                   mask_camera: Camera):
+    """Mask seen from a different camera -> per-depth-pixel mask.
+
+    Back-projects each depth pixel, transforms into the mask camera via
+    `T_CM_CD`, and samples the mask (parity: masked integrateDepth with
+    mask_camera + T_CM_CD, nvblox_node.cpp:1057-1063). Pixels projecting
+    outside the mask image count as unmasked.
+    """
+    from isaac_ros_nvblox_tpu.core.types import Transform
+    H, W = depth.shape
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    z = depth
+    x = (uu - depth_camera.cx) / depth_camera.fx * z
+    y = (vv - depth_camera.cy) / depth_camera.fy * z
+    p = jnp.stack([x, y, z], -1).reshape(-1, 3)
+    p_m = Transform.apply(T_CM_CD, p)
+    uv, in_view = mask_camera.project(p_m)
+    m = sample_image_nearest(mask.astype(jnp.float32), uv).reshape(H, W)
+    ok = in_view.reshape(H, W) & (depth > 0)
+    return jnp.where(ok, m, 0.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "voxel_size_m",
+                                             "max_depth_m"))
+def _detect_dynamic_fused(state, high_confidence, depth, T_L_C, *,
+                          camera: Camera, voxel_size_m: float,
+                          max_depth_m: float):
+    """Dynamic-pixel mask: depth pixels landing in high-confidence
+    freespace voxels (device slot_grid lookup, no host tables)."""
+    from isaac_ros_nvblox_tpu.core.types import Transform
+    B = 8
+    cap = high_confidence.shape[0]
+    H, W = depth.shape
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    z = depth
+    x = (uu - camera.cx) / camera.fx * z
+    y = (vv - camera.cy) / camera.fy * z
+    p_L = Transform.apply(T_L_C, jnp.stack([x, y, z], -1).reshape(-1, 3))
+    gvox = jnp.floor(p_L / voxel_size_m).astype(jnp.int32)
+    b = jnp.floor_divide(gvox, B)
+    cell = b - state.origin_block[None, :]
+    dims = jnp.asarray(state.slot_grid.shape, jnp.int32)
+    in_b = jnp.all((cell >= 0) & (cell < dims), axis=-1)
+    safe = jnp.clip(cell, 0, dims - 1)
+    slot = state.slot_grid[safe[:, 0], safe[:, 1], safe[:, 2]]
+    l = gvox - b * B
+    vox = (l[:, 0] * B + l[:, 1]) * B + l[:, 2]
+    hc = high_confidence[jnp.clip(slot, 0, cap - 1), vox]
+    ok = in_b & (slot >= 0) & (depth.reshape(-1) > 0) \
+        & (depth.reshape(-1) <= max_depth_m)
+    return (hc & ok).reshape(H, W), p_L
 
 
 class MultiMapper:
-    def __init__(self, params: Optional[MultiMapperParams] = None):
+    def __init__(self, params: Optional[MultiMapperParams] = None,
+                 world: Optional[wg.WorldGridConfig] = None):
         self.params = params or MultiMapperParams()
         p = self.params
         static_layer = projective_layer_type(p.mapping_type)
@@ -45,25 +112,30 @@ class MultiMapper:
             MappingType.HUMAN_WITH_STATIC_OCCUPANCY)
         self.uses_freespace = p.mapping_type == MappingType.DYNAMIC
 
-        self.static_mapper = Mapper(
+        world = world or _default_world(p.block_capacity)
+        self.static_mapper = DeviceMapper(
             voxel_size_m=p.voxel_size_m, params=p.static_mapper,
-            projective_layer=static_layer, capacity=p.block_capacity,
+            projective_layer=static_layer, world=world,
             enable_color=(static_layer == ProjectiveLayerType.TSDF),
-            enable_esdf=True,
-            enable_freespace=self.uses_freespace,
+            enable_esdf=True, enable_freespace=self.uses_freespace,
             name="static_mapper")
-        self.dynamic_mapper: Optional[Mapper] = None
+        self.dynamic_mapper: Optional[DeviceMapper] = None
         if self.is_dynamic_mode:
-            self.dynamic_mapper = Mapper(
+            dyn_world = wg.WorldGridConfig(
+                dims=world.dims, capacity=max(p.block_capacity // 4, 1024),
+                origin_block=world.origin_block)
+            self.dynamic_mapper = DeviceMapper(
                 voxel_size_m=p.voxel_size_m, params=p.dynamic_mapper,
                 projective_layer=ProjectiveLayerType.OCCUPANCY,
-                capacity=max(p.block_capacity // 4, 1024),
-                enable_color=False, enable_esdf=True,
+                world=dyn_world, enable_color=False, enable_esdf=True,
                 name="dynamic_mapper")
 
         self.default_lidar = Lidar.equal_vertical_fov(
             num_azimuth=1024, num_elevation=64,
             vertical_fov_rad=np.deg2rad(45.0))
+        # Ground-plane estimation (parity: multi_mapper.ground_plane_
+        # estimator(), fed to ESDF slicing — nvblox_node.cpp:1455-1474).
+        self.ground_plane_estimator = GroundPlaneEstimator()
         # Debug outputs (parity: getLastDynamicPointcloud etc.).
         self.last_dynamic_pointcloud: Optional[np.ndarray] = None
         self.last_dynamic_mask: Optional[np.ndarray] = None
@@ -71,47 +143,60 @@ class MultiMapper:
         self.last_depth_foreground: Optional[np.ndarray] = None
 
     # -------------------------------------------------------------- helpers
-    def background_mapper(self) -> Mapper:
+    def background_mapper(self) -> DeviceMapper:
         return self.static_mapper
 
-    def foreground_mapper(self) -> Optional[Mapper]:
+    def foreground_mapper(self) -> Optional[DeviceMapper]:
         return self.dynamic_mapper
 
     # ------------------------------------------------------------ integrate
     def integrate_depth(self, depth, T_L_C, camera: Camera,
                         mask: Optional[np.ndarray] = None,
+                        mask_camera: Optional[Camera] = None,
+                        T_CM_CD=None,
                         time_ms: float = 0.0) -> None:
         """Route a depth frame: unmasked -> static; masked/human modes split
         foreground into the dynamic occupancy mapper; dynamic mode derives
-        the mask from high-confidence freespace."""
-        depth = jnp.asarray(depth, jnp.float32)
+        the mask from high-confidence freespace. A mask from a different
+        camera is reprojected via `T_CM_CD` + `mask_camera`."""
+        depth_j = jnp.asarray(depth, jnp.float32)
         if self.params.static_mapper.do_depth_preprocessing:
-            depth = dilate_invalid_depth(
-                depth, self.params.static_mapper.depth_preprocessing_num_dilations)
+            depth_j = dilate_invalid_depth(
+                depth_j,
+                self.params.static_mapper.depth_preprocessing_num_dilations)
 
         if not self.is_dynamic_mode:
-            self.static_mapper.integrate_depth(depth, T_L_C, camera)
+            self.static_mapper.integrate_depth(depth_j, T_L_C, camera)
             return
 
         if self.uses_freespace and mask is None:
-            mask = self.detect_dynamic(depth, T_L_C, camera)
+            mask = self.detect_dynamic(depth_j, T_L_C, camera)
         if mask is None:
-            mask = np.zeros(depth.shape, np.uint8)
-        elif self.params.static_mapper.remove_small_connected_components:
-            mask = remove_small_connected_components(
-                np.asarray(mask),
-                self.params.static_mapper.connected_mask_component_size_threshold)
+            mask = np.zeros(np.asarray(depth).shape, np.uint8)
+        else:
+            if mask_camera is not None and T_CM_CD is not None:
+                mask = np.asarray(reproject_mask(
+                    depth_j, jnp.asarray(mask),
+                    jnp.asarray(T_CM_CD, jnp.float32),
+                    depth_camera=camera, mask_camera=mask_camera))
+            if self.params.static_mapper.remove_small_connected_components:
+                mask = remove_small_connected_components(
+                    np.asarray(mask), self.params.static_mapper
+                    .connected_mask_component_size_threshold)
 
-        background, foreground = split_depth_by_mask(depth, jnp.asarray(mask))
-        self.static_mapper.integrate_depth(background, T_L_C, camera)
+        mask_j = jnp.asarray(mask)
+        self.static_mapper.integrate_depth(depth_j, T_L_C, camera,
+                                           mask=mask_j, mask_mode=1)
         if self.dynamic_mapper is not None:
-            self.dynamic_mapper.integrate_depth(foreground, T_L_C, camera)
+            self.dynamic_mapper.integrate_depth(depth_j, T_L_C, camera,
+                                                mask=mask_j, mask_mode=2)
         if self.uses_freespace:
             self.static_mapper.update_freespace(time_ms, T_L_C, camera)
         self.last_dynamic_mask = np.asarray(mask)
-        self.last_depth_foreground = np.asarray(foreground)
+        self.last_depth_foreground = np.asarray(
+            jnp.where(mask_j > 0, depth_j, 0.0))
         self.last_mask_overlay = np.asarray(mask_overlay(
-            jnp.clip(depth * 50.0, 0, 255), jnp.asarray(mask)))
+            jnp.clip(depth_j * 50.0, 0, 255), mask_j))
 
     def integrate_color(self, color, T_L_C, camera: Camera,
                         mask: Optional[np.ndarray] = None,
@@ -127,85 +212,73 @@ class MultiMapper:
                              lidar: Optional[Lidar] = None,
                              timestamps_s: Optional[np.ndarray] = None,
                              T_L_S_end=None, time_ms: float = 0.0) -> None:
-        """3D LiDAR integration: (optional) motion compensation -> spherical
-        range image -> projective TSDF fusion (nvblox_node.cpp:1382-1384)."""
-        from isaac_ros_nvblox_tpu.core.block_pool import pad_to_bucket
-        from isaac_ros_nvblox_tpu.ops.tsdf import integrate_tsdf_lidar
-        from isaac_ros_nvblox_tpu.ops import view as view_ops
-
-        lidar = lidar or self.default_lidar
-        points = jnp.asarray(points, jnp.float32)
-        T_L_S = jnp.asarray(T_L_S, jnp.float32)
-        if timestamps_s is not None and T_L_S_end is not None:
-            points = motion_compensate_pointcloud(
-                points, jnp.asarray(timestamps_s, jnp.float32),
-                T_L_S, jnp.asarray(T_L_S_end, jnp.float32), lidar)
-            T_L_S = jnp.asarray(T_L_S_end, jnp.float32)
-        range_image = pointcloud_to_range_image(points, lidar)
-
-        m = self.static_mapper
-        assert m.projective_layer == ProjectiveLayerType.TSDF, \
-            "lidar integration currently requires a TSDF static layer"
-        p = m.params.projective
-        # Block allocation from the world-frame points directly (cheaper and
-        # exact vs re-raycasting the range image).
-        from isaac_ros_nvblox_tpu.core.types import block_size_m
-        pts_L = np.asarray(points @ np.asarray(T_L_S)[:3, :3].T
-                           + np.asarray(T_L_S)[:3, 3])
-        r = np.linalg.norm(pts_L - np.asarray(T_L_S)[:3, 3], axis=1)
-        ok = (r > 1e-3) & (r <= p.max_integration_distance_m)
-        idx = touched_blocks_along_rays(
-            np.asarray(T_L_S)[:3, 3], pts_L[ok], m.voxel_size_m,
-            p.truncation_m(m.voxel_size_m))
-        m.pool.ensure_capacity(needed_free=len(idx))
-        slots, fresh = m.table.allocate(idx)
-        m.pool.reset_slots(slots[fresh])
-        from isaac_ros_nvblox_tpu.mapper.mapper import _padded_batch
-        slots_d, idx_d = _padded_batch(m.table, slots, idx)
-        d, w = integrate_tsdf_lidar(
-            m.pool["tsdf_distance"], m.pool["tsdf_weight"], slots_d, idx_d,
-            range_image, T_L_S, lidar=lidar, voxel_size_m=m.voxel_size_m,
-            params=p)
-        m.pool["tsdf_distance"] = d
-        m.pool["tsdf_weight"] = w
-        m._mark_mesh_dirty(slots)
+        """3D LiDAR integration with optional per-point motion compensation
+        (nvblox_node.cpp:1339-1384)."""
+        self.static_mapper.integrate_pointcloud(
+            points, T_L_S, lidar or self.default_lidar,
+            timestamps_s=timestamps_s, T_L_S_end=T_L_S_end)
 
     # -------------------------------------------------------------- dynamic
     def detect_dynamic(self, depth, T_L_C, camera: Camera) -> np.ndarray:
-        """Dynamic-pixel mask from high-confidence freespace: back-project
-        depth pixels, mark those landing in high-confidence-freespace voxels."""
-        from isaac_ros_nvblox_tpu.ops.backproject import back_project_depth
+        """Dynamic-pixel mask from high-confidence freespace (device)."""
         m = self.static_mapper
-        if "freespace_high_confidence" not in m.pool.channels:
+        if "freespace_high_confidence" not in m.channels:
             return np.zeros(np.asarray(depth).shape, np.uint8)
-        pts_C, valid = back_project_depth(
-            jnp.asarray(depth), camera=camera,
-            max_depth_m=m.params.projective.max_integration_distance_m)
-        from isaac_ros_nvblox_tpu.core.types import Transform
-        pts_L = Transform.apply(jnp.asarray(T_L_C, jnp.float32), pts_C)
-        hc = lookup_voxel_flags(m, pts_L)
-        mask = np.asarray(hc & valid).reshape(np.asarray(depth).shape)
-        pts_np = np.asarray(pts_L)[np.asarray(hc & valid)]
-        self.last_dynamic_pointcloud = pts_np
-        return mask.astype(np.uint8)
+        mask, p_L = _detect_dynamic_fused(
+            m.state, m.channels["freespace_high_confidence"],
+            jnp.asarray(depth, jnp.float32), jnp.asarray(T_L_C, jnp.float32),
+            camera=camera, voxel_size_m=m.voxel_size_m,
+            max_depth_m=float(
+                m.params.projective.max_integration_distance_m))
+        mask_np = np.asarray(mask)
+        self.last_dynamic_pointcloud = \
+            np.asarray(p_L)[mask_np.reshape(-1)]
+        return mask_np.astype(np.uint8)
 
     # --------------------------------------------------------------- update
     def update_esdf(self) -> None:
-        self.static_mapper.update_esdf()
-        if self.dynamic_mapper is not None:
-            self.dynamic_mapper.update_esdf()
+        """ESDF update honoring esdf_mode: 3d solves the full field; 2d
+        integrates only the height band (optionally referenced to the
+        estimated ground plane) into a planar field
+        (mapper_initialization.cpp:197-200, 255-260)."""
+        if self.params.esdf_mode == EsdfMode.K2D:
+            lo, hi = self.esdf_2d_band()
+            self.static_mapper.update_esdf_2d(lo, hi)
+            if self.dynamic_mapper is not None:
+                self.dynamic_mapper.update_esdf_2d(lo, hi)
+        else:
+            self.static_mapper.update_esdf()
+            if self.dynamic_mapper is not None:
+                self.dynamic_mapper.update_esdf()
 
-    def update_mesh(self, update_full_layer: bool = False) -> int:
-        return self.static_mapper.update_mesh(update_full_layer)
+    def esdf_2d_band(self) -> Tuple[float, float]:
+        """The 2D-ESDF integration band: [esdf_2d_min, max] heights, or
+        referenced to the ground plane when one is estimated
+        (slice_height_above_plane_m / slice_height_thickness_m,
+        mapper_initialization.cpp:255-260, nvblox_node.cpp:1455-1474)."""
+        sp = self.params.static_mapper.esdf_slice
+        plane = self.ground_plane_estimator.last_plane
+        if plane is not None:
+            lo = plane.c + sp.slice_height_above_plane_m
+            return lo, lo + sp.slice_height_thickness_m
+        return sp.esdf_slice_min_height, sp.esdf_slice_max_height
+
+    def update_ground_plane(self) -> Optional[Plane]:
+        return self.ground_plane_estimator.estimate_device(self.static_mapper)
+
+    def update_mesh(self, max_blocks: int = 2048):
+        from isaac_ros_nvblox_tpu.mapper import device_io
+        return device_io.update_mesh_layer(self.static_mapper,
+                                           max_blocks=max_blocks)
 
     def decay(self) -> None:
         if self.static_mapper.projective_layer == ProjectiveLayerType.TSDF:
             if self.uses_freespace:
-                self.static_mapper.decay_tsdf()
+                self.static_mapper.decay()
         else:
-            self.static_mapper.decay_occupancy()
+            self.static_mapper.decay()
         if self.dynamic_mapper is not None:
-            self.dynamic_mapper.decay_occupancy()
+            self.dynamic_mapper.decay()
 
 
 # ------------------------------------------------------------------ helpers
@@ -213,7 +286,6 @@ def dilate_invalid_depth(depth, num_dilations: int):
     """Invalid-depth dilation (parity: do_depth_preprocessing,
     mapper_initialization.cpp:239-244): grow invalid regions to suppress
     mixed-depth edge artifacts."""
-    import jax.numpy as jnp
     d = depth
     for _ in range(int(num_dilations)):
         invalid = d <= 0.0
@@ -221,62 +293,3 @@ def dilate_invalid_depth(depth, num_dilations: int):
             invalid = invalid | (jnp.roll(d, shift, axis) <= 0.0)
         d = jnp.where(invalid, 0.0, d)
     return d
-
-
-def lookup_voxel_flags(mapper: Mapper, points_L) -> np.ndarray:
-    """Check `freespace_high_confidence` at given world points (host-assisted
-    slot lookup + device gather)."""
-    import jax.numpy as jnp
-    from isaac_ros_nvblox_tpu.core.types import (VOXELS_PER_SIDE,
-                                                 block_size_m)
-    B = VOXELS_PER_SIDE
-    pts = np.asarray(points_L)
-    vs = mapper.voxel_size_m
-    gvox = np.floor(pts / vs).astype(np.int64)
-    bidx, lidx = np.divmod(gvox, B)
-    # Host slot lookup (vectorized dict via python loop over unique blocks).
-    ub, inv = np.unique(bidx, axis=0, return_inverse=True)
-    slot_of_ub = np.asarray([mapper.table.slot_of(tuple(b)) for b in ub.tolist()],
-                            np.int32)
-    slots = slot_of_ub[inv]
-    lin = ((lidx[:, 0] * B + lidx[:, 1]) * B + lidx[:, 2]).astype(np.int32)
-    hc_pool = np.asarray(mapper.pool["freespace_high_confidence"])
-    ok = slots >= 0
-    out = np.zeros(pts.shape[0], bool)
-    out[ok] = hc_pool[slots[ok], lin[ok]]
-    return out
-
-
-def touched_blocks_along_rays(origin_m: np.ndarray, end_points_m: np.ndarray,
-                              voxel_size_m: float, truncation_m: float,
-                              max_points: int = 20000) -> np.ndarray:
-    """Host: unique block indices along rays origin->point(+truncation).
-
-    Subsamples to `max_points` rays for allocation (allocation only needs
-    coverage; integration uses the full range image)."""
-    from isaac_ros_nvblox_tpu.core.types import block_size_m
-    bs = block_size_m(voxel_size_m)
-    n = end_points_m.shape[0]
-    if n == 0:
-        return np.zeros((0, 3), np.int32)
-    if n > max_points:
-        sel = np.linspace(0, n - 1, max_points).astype(np.int64)
-        end_points_m = end_points_m[sel]
-    d = end_points_m - origin_m
-    lengths = np.linalg.norm(d, axis=1)
-    dirs = d / np.maximum(lengths[:, None], 1e-9)
-    lengths = lengths + truncation_m
-    max_len = lengths.max()
-    n_steps = int(np.ceil(max_len / (bs * 0.5))) + 1
-    ts = np.minimum(np.arange(n_steps)[None, :] * (bs * 0.5),
-                    lengths[:, None])
-    pts = origin_m[None, None, :] + dirs[:, None, :] * ts[..., None]
-    blocks = np.floor(pts.reshape(-1, 3) / bs).astype(np.int64)
-    packed = ((blocks[:, 0] + (1 << 20)) << 42) \
-        + ((blocks[:, 1] + (1 << 20)) << 21) + (blocks[:, 2] + (1 << 20))
-    uniq = np.unique(packed)
-    out = np.empty((uniq.size, 3), np.int64)
-    out[:, 0] = (uniq >> 42) - (1 << 20)
-    out[:, 1] = ((uniq >> 21) & ((1 << 21) - 1)) - (1 << 20)
-    out[:, 2] = (uniq & ((1 << 21) - 1)) - (1 << 20)
-    return out.astype(np.int32)

@@ -270,6 +270,90 @@ def esdf_from_sites_dense(is_site, block_index_of_slot, alloc_count,
 
 
 # ---------------------------------------------------------------------------
+# 2D ESDF (EsdfMode 2d): sites collapsed over a height band, 2-pass EDT
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("dims_b", "band", "interpret"))
+def esdf_2d_from_sites(is_site, voxel_z_ok, block_index_of_slot, alloc_count,
+                       origin_b, *, dims_b: Tuple[int, int], band: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Exact banded 2-D squared EDT from height-band-restricted sites.
+
+    Parity: nvblox's EsdfMode::k2D — only sites inside
+    [esdf_2d_min_height, esdf_2d_max_height] seed the field, and distances
+    are planar (mapper_initialization.cpp:197-200). Implementation embeds
+    the 2-D problem in the 3-D block-major pass kernels with a single-
+    block z extent: band sites collapse onto the lz=0 plane of an Nz=1
+    region (a scatter-min), the x and y passes run unchanged, and the z
+    pass is skipped (all sites and queries share lz=0).
+
+    Args:
+      is_site: bool[cap, 512]; voxel_z_ok: bool[cap, 512] height-band mask.
+      dims_b: static (Nx, Ny) region size in blocks.
+
+    Returns sq2d: f32[Nx*8, Ny*8] squared planar voxel distances (INF
+    beyond band or away from any site).
+    """
+    cap = is_site.shape[0]
+    Nx, Ny = dims_b
+    dims3 = (Nx, Ny, 1)
+
+    # Collapse each slot's sites over z onto lane (lx, ly, lz=0):
+    # lane v = lx*64 + ly*8 + lz -> group-of-8 any() -> put at lz == 0.
+    site = (is_site & voxel_z_ok).reshape(cap, 64, 8)
+    col = jnp.any(site, axis=-1)                    # [cap, 64] per (lx, ly)
+    g0_64 = jnp.where(col, np.float32(0.0), INF)
+    lz0 = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1) % 8 == 0
+    g0 = jnp.where(lz0, jnp.repeat(g0_64, 8, axis=1), INF)  # [cap, 512]
+
+    cells = block_index_of_slot[:, :2] - origin_b[None, :2]
+    live = ((jnp.arange(cap) < alloc_count)
+            & (cells[:, 0] >= 0) & (cells[:, 0] < Nx)
+            & (cells[:, 1] >= 0) & (cells[:, 1] < Ny))
+
+    n_lines_x, Sx = _line_dims(dims3, 0)
+    rows_x = jnp.full((n_lines_x * line_rows(Sx, band), V), INF)
+    row_x = _row_of_cell(cells[:, 0], cells[:, 1], 0, dims3, 0, band,
+                         padded=True)
+    row_x = jnp.where(live, row_x, rows_x.shape[0])
+    # Scatter-min: several z blocks of one column share a 2-D row.
+    rows_x = rows_x.at[row_x].min(g0, mode="drop")
+
+    out_x = edt_pass_blockmajor(rows_x, n_lines=n_lines_x, Sb=Sx, band=band,
+                                axis=0, interpret=interpret)
+    rows_y = _repad(out_x, dims3, 0, 1, band)
+    n_lines_y, Sy = _line_dims(dims3, 1)
+    out_y = edt_pass_blockmajor(rows_y, n_lines=n_lines_y, Sb=Sy, band=band,
+                                axis=1, interpret=interpret)
+
+    # out_y rows are y-order lines (cz=0, cx) x cy; read lane lz==0 and
+    # reassemble [X, Y].
+    vals = out_y.reshape(Nx, Ny, 64, 8)[..., 0]      # [Nx, Ny, (lx*8+ly)]
+    vals = vals.reshape(Nx, Ny, 8, 8)                # [Nx, Ny, lx, ly]
+    sq2d = vals.transpose(0, 2, 1, 3).reshape(Nx * 8, Ny * 8)
+    max_sq = np.float32(band * band)
+    return jnp.where(sq2d <= max_sq, sq2d, INF)
+
+
+@functools.partial(jax.jit, static_argnames=("dims_b",))
+def collapse_2d_mask(mask, voxel_z_ok, block_index_of_slot, alloc_count,
+                     origin_b, *, dims_b: Tuple[int, int]) -> jnp.ndarray:
+    """any() of a bool voxel mask over each height-band column -> bool[X, Y]."""
+    cap = mask.shape[0]
+    Nx, Ny = dims_b
+    col = jnp.any((mask & voxel_z_ok).reshape(cap, 64, 8), axis=-1)
+    cells = block_index_of_slot[:, :2] - origin_b[None, :2]
+    live = ((jnp.arange(cap) < alloc_count)
+            & (cells[:, 0] >= 0) & (cells[:, 0] < Nx)
+            & (cells[:, 1] >= 0) & (cells[:, 1] < Ny))
+    row = jnp.where(live, cells[:, 0] * Ny + cells[:, 1], Nx * Ny)
+    acc = jnp.zeros((Nx * Ny, 64), jnp.bool_).at[row].max(col, mode="drop")
+    return acc.reshape(Nx, Ny, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(Nx * 8, Ny * 8)
+
+
+# ---------------------------------------------------------------------------
 # Reference (XLA/numpy) implementation for exact-match tests
 # ---------------------------------------------------------------------------
 

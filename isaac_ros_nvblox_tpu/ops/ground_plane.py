@@ -159,6 +159,39 @@ class GroundPlaneEstimator:
         self.last_plane: Optional[Plane] = None
         self.last_candidates: Optional[np.ndarray] = None
 
+    def estimate_device(self, m) -> Optional[Plane]:
+        """Estimate from a DeviceMapper (device halo + candidates + RANSAC;
+        one small host sync for the plane coefficients)."""
+        if "tsdf_distance" not in m.channels:
+            return None
+        from isaac_ros_nvblox_tpu.core import world_grid as wgmod
+        from isaac_ros_nvblox_tpu.ops.halo import gather_halo
+        cap = m.capacity
+        # Batch = all slots to the high-water mark (freed rows are inert).
+        slots = jnp.arange(cap, dtype=jnp.int32)
+        bidx = m.state.block_index_of_slot
+        nbrs = wgmod.neighbor_slots_of(m.state, bidx)
+        d_pad = gather_halo(m.channels["tsdf_distance"].reshape(cap, 8, 8, 8),
+                            nbrs, lo=0, hi=1, fill=0.0)
+        w_pad = gather_halo(m.channels["tsdf_weight"].reshape(cap, 8, 8, 8),
+                            nbrs, lo=0, hi=1, fill=0.0)
+        valid_blocks = wgmod.live_slot_mask(m.state)
+        pts, valid = tsdf_zero_crossings_ground_candidates(
+            d_pad, w_pad, bidx, valid_blocks,
+            voxel_size_m=m.voxel_size_m,
+            min_z_m=self.params.ground_points_candidates_min_z_m,
+            max_z_m=self.params.ground_points_candidates_max_z_m)
+        pts = pts.reshape(-1, 3)
+        valid = valid.reshape(-1)
+        self._key, sub = jax.random.split(self._key)
+        coeffs, inliers, ok = ransac_plane_fit(pts, valid, sub,
+                                               params=self.params)
+        if not bool(ok):
+            return None
+        c = np.asarray(coeffs)
+        self.last_plane = Plane(a=float(c[0]), b=float(c[1]), c=float(c[2]))
+        return self.last_plane
+
     def estimate(self, mapper) -> Optional[Plane]:
         if "tsdf_distance" not in mapper.pool.channels:
             return None

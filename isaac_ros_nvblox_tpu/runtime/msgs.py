@@ -133,9 +133,26 @@ class MessageBus:
         with self._lock:
             return len(self._subs.get(topic, ()))
 
+    def subscriber_ids(self, topic: str):
+        """Stable per-subscriber ids — lets publishers keep per-subscriber
+        state such as the full-map resend for late mesh subscribers
+        (parity: layer_publishing.cpp:545-584)."""
+        with self._lock:
+            return [id(fn) for fn in self._subs.get(topic, ())]
+
     def publish(self, topic: str, msg) -> int:
         with self._lock:
             subs = list(self._subs.get(topic, ()))
         for fn in subs:
             fn(msg)
         return len(subs)
+
+    def publish_to(self, topic: str, subscriber_id: int, msg) -> bool:
+        """Deliver to one subscriber (by id from subscriber_ids)."""
+        with self._lock:
+            subs = list(self._subs.get(topic, ()))
+        for fn in subs:
+            if id(fn) == subscriber_id:
+                fn(msg)
+                return True
+        return False

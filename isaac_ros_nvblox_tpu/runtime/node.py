@@ -8,27 +8,30 @@ publishing, and services marshalled onto the tick thread
 
 TPU build: same architecture minus ROS — callbacks push into
 DropOldestQueues; `tick()` is called by the host loop (or a timer thread);
-outputs go to a MessageBus. All device work happens on the tick thread.
+outputs go to a MessageBus. All device work happens on the tick thread, and
+(round 2) the node runs end-to-end on the device-resident MultiMapper /
+DeviceMapper path — the reference's GPU-resident hot loop
+(nvblox_node.cpp:974-1091) with zero host round trips per frame.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
+from isaac_ros_nvblox_tpu.mapper import device_io
 from isaac_ros_nvblox_tpu.mapper.multi_mapper import MultiMapper
-from isaac_ros_nvblox_tpu.mapper.params import MultiMapperParams
+from isaac_ros_nvblox_tpu.mapper.params import EsdfMode, MultiMapperParams
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops.esdf_slicer import (combine_distance_images,
-                                                  compute_slice_spec,
-                                                  occupancy_grid_from_slice,
-                                                  slice_esdf_layer)
+                                                  occupancy_grid_from_slice)
 from isaac_ros_nvblox_tpu.runtime.msgs import (DistanceMapSlice, Header,
                                                Index3D, MeshBlockMsg, MeshMsg,
-                                               MessageBus)
+                                               MessageBus, VoxelBlockLayerMsg,
+                                               VoxelBlockMsg)
 from isaac_ros_nvblox_tpu.runtime.queues import (DropOldestQueue,
                                                  ServiceRequestQueue)
 from isaac_ros_nvblox_tpu.runtime.transformer import Transformer
@@ -59,6 +62,9 @@ class NodeParams:
     publish_layer_rate_hz: float = 5.0
     # Parity: layer_streamer_bandwidth_limit_mbps (node_params.hpp).
     layer_streamer_bandwidth_limit_mbps: float = 30.0
+    # Ground-plane estimation feeding slice-above-plane
+    # (nvblox_node.cpp:1455-1474).
+    use_ground_plane_estimator: bool = False
 
 
 @dataclasses.dataclass
@@ -67,6 +73,9 @@ class _DepthItem:
     camera: Camera
     frame_id: str
     stamp_s: float
+    mask: Optional[np.ndarray] = None
+    mask_camera: Optional[Camera] = None
+    T_CM_CD: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -97,9 +106,11 @@ class NvbloxNode:
     def __init__(self, params: Optional[NodeParams] = None,
                  mapper_params: Optional[MultiMapperParams] = None,
                  bus: Optional[MessageBus] = None,
+                 world=None,
                  clock=time.monotonic):
         self.params = params or NodeParams()
-        self.multi_mapper = MultiMapper(mapper_params or MultiMapperParams())
+        self.multi_mapper = MultiMapper(mapper_params or MultiMapperParams(),
+                                        world=world)
         self.transformer = Transformer(global_frame=self.params.global_frame)
         self.bus = bus or MessageBus()
         self.clock = clock
@@ -109,16 +120,24 @@ class NvbloxNode:
         self.color_queue: DropOldestQueue = DropOldestQueue("color", q)
         self.pointcloud_queue: DropOldestQueue = DropOldestQueue("pointcloud", q)
         self.service_queue = ServiceRequestQueue()
-        self._published_mesh_blocks: set = set()
+        # Per-subscriber mesh state: new subscribers get a full-map resend
+        # (parity: layer_publishing.cpp:545-584).
+        self._mesh_sent_to: Dict[int, Set[Tuple[int, int, int]]] = {}
         self._mesh_streamer = None  # created lazily (needs voxel size)
+        self._layer_streamers: Dict[str, object] = {}
+        self._layer_sent: Dict[str, Set[Tuple[int, int, int]]] = {}
         self.tick_count = 0
 
     # ------------------------------------------------------------- callbacks
     def add_depth_image(self, depth: np.ndarray, camera: Camera,
-                        frame_id: str, stamp_s: float) -> None:
+                        frame_id: str, stamp_s: float,
+                        mask: Optional[np.ndarray] = None,
+                        mask_camera: Optional[Camera] = None,
+                        T_CM_CD: Optional[np.ndarray] = None) -> None:
         Rates.tick("node/depth_image_callback")
         Delays.record("node/depth_image", self.clock() - stamp_s)
-        self.depth_queue.push(_DepthItem(depth, camera, frame_id, stamp_s))
+        self.depth_queue.push(_DepthItem(depth, camera, frame_id, stamp_s,
+                                         mask, mask_camera, T_CM_CD))
 
     def add_color_image(self, color: np.ndarray, camera: Camera,
                         frame_id: str, stamp_s: float) -> None:
@@ -176,7 +195,8 @@ class NvbloxNode:
                 item.frame_id, item.stamp_s)
             with Timer("node/depth/integrate"):
                 self.multi_mapper.integrate_depth(
-                    item.depth, T, item.camera,
+                    item.depth, T, item.camera, mask=item.mask,
+                    mask_camera=item.mask_camera, T_CM_CD=item.T_CM_CD,
                     time_ms=item.stamp_s * 1e3)
             Rates.tick("node/depth")
 
@@ -203,45 +223,65 @@ class NvbloxNode:
                 continue
             T = self.transformer.lookup_transform_to_global_frame(
                 frame_id, stamp_s)
+            # Lidar motion compensation: scan duration = max per-point
+            # relative timestamp; end pose interpolated from the pose
+            # queue (parity: nvblox_node.cpp:1339-1384,
+            # pointcloud_conversions.cu:345-378).
+            T_end = None
+            if timestamps is not None:
+                scan_dur = float(np.max(timestamps))
+                if scan_dur > 0 and self.transformer.can_transform(
+                        frame_id, stamp_s + scan_dur):
+                    T_end = self.transformer.lookup_transform_to_global_frame(
+                        frame_id, stamp_s + scan_dur)
             with Timer("node/lidar/integrate"):
                 self.multi_mapper.integrate_pointcloud(
-                    points, T, timestamps_s=timestamps,
+                    points, T, timestamps_s=timestamps, T_L_S_end=T_end,
                     time_ms=stamp_s * 1e3)
             Rates.tick("node/lidar")
 
     def _process_esdf(self) -> None:
+        if self.params.use_ground_plane_estimator:
+            with Timer("node/ground_plane"):
+                plane = self.multi_mapper.update_ground_plane()
+            if plane is not None:
+                self.bus.publish("~/ground_plane",
+                                 (plane.a, plane.b, plane.c))
         with Timer("node/esdf/update"):
             self.multi_mapper.update_esdf()
         Rates.tick("node/esdf")
         if not self.params.esdf_2d:
             return
         if self.bus.num_subscribers("~/static_map_slice") == 0 \
-                and self.bus.num_subscribers("~/combined_map_slice") == 0:
+                and self.bus.num_subscribers("~/combined_map_slice") == 0 \
+                and self.bus.num_subscribers("~/map_slice_occupancy_grid") == 0:
             return
         with Timer("node/esdf/slice"):
             self._publish_slices()
 
+    def _slice_one(self, mapper, spec=None):
+        p = self.params
+        unknown = p.distance_map_unknown_value_optimistic
+        max_d = mapper.params.esdf.max_esdf_distance_m
+        if self.multi_mapper.params.esdf_mode == EsdfMode.K2D:
+            return device_io.slice_esdf_2d_device(
+                mapper, max_distance_m=max_d, unknown_value=unknown,
+                spec=spec)
+        return device_io.slice_esdf_device(
+            mapper, slice_height_m=p.esdf_slice_height,
+            max_distance_m=max_d, unknown_value=unknown, spec=spec)
+
     def _publish_slices(self) -> None:
         p = self.params
-        static_mapper = self.multi_mapper.static_mapper
         unknown = p.distance_map_unknown_value_optimistic
-        res = slice_esdf_layer(
-            static_mapper.pool, static_mapper.table,
-            voxel_size_m=static_mapper.voxel_size_m,
-            slice_height_m=p.esdf_slice_height,
-            max_distance_m=static_mapper.params.esdf.max_esdf_distance_m,
-            unknown_value=unknown)
+        res = self._slice_one(self.multi_mapper.static_mapper)
         if res is None:
             return
         spec, img = res
         slices = [img]
         dyn = self.multi_mapper.dynamic_mapper
-        if dyn is not None and dyn.table.num_allocated > 0:
-            dres = slice_esdf_layer(
-                dyn.pool, dyn.table, voxel_size_m=dyn.voxel_size_m,
-                slice_height_m=p.esdf_slice_height,
-                max_distance_m=dyn.params.esdf.max_esdf_distance_m,
-                unknown_value=unknown, spec=spec)
+        if dyn is not None:
+            dres = self._slice_one(dyn, spec=spec)
             if dres is not None:
                 slices.append(dres[1])
         header = Header(stamp_s=self.clock(), frame_id=p.global_frame)
@@ -251,28 +291,30 @@ class NvbloxNode:
             width=spec.width, height=spec.height, unknown_value=unknown,
             data=img)
         self.bus.publish("~/static_map_slice", msg)
-        if len(slices) > 1:
+        if len(slices) > 1 and slices[1].shape == img.shape:
             combined = combine_distance_images(slices, unknown)
             self.bus.publish("~/combined_map_slice", dataclasses.replace(
                 msg, data=combined))
+        else:
+            combined = img
         if self.bus.num_subscribers("~/map_slice_occupancy_grid"):
             grid = occupancy_grid_from_slice(
-                combine_distance_images(slices, unknown),
-                p.free_threshold_m, unknown)
+                combined, p.free_threshold_m, unknown)
             self.bus.publish("~/map_slice_occupancy_grid", (spec, grid))
 
     def _process_mesh(self) -> None:
         static_mapper = self.multi_mapper.static_mapper
-        if self.bus.num_subscribers("~/mesh") == 0:
+        subs = self.bus.subscriber_ids("~/mesh")
+        if not subs:
             return
         with Timer("node/mesh/update"):
-            static_mapper.update_mesh()
+            self.multi_mapper.update_mesh()
         Rates.tick("node/mesh")
         mesh_layer = static_mapper.mesh_layer
         current = set(mesh_layer.blocks.keys())
         # Budgeted incremental publishing (parity: serializeSelectedLayers'
-        # bandwidth limit + proximity prioritization): never-yet-published
-        # blocks queue through the streamer; removals always go out.
+        # bandwidth limit + proximity prioritization) with per-subscriber
+        # full-map resend for late joiners (layer_publishing.cpp:545-584).
         if self._mesh_streamer is None:
             from isaac_ros_nvblox_tpu.runtime.layer_streaming import (
                 LayerStreamer, StreamingParams)
@@ -282,75 +324,126 @@ class NvbloxNode:
                     bandwidth_mbps=self.params
                     .layer_streamer_bandwidth_limit_mbps),
                 clock=self.clock)
-        never_published = current - self._published_mesh_blocks
         remeshed = set(getattr(static_mapper, "last_meshed_keys", []))
-        self._mesh_streamer.mark_dirty(never_published | (remeshed & current))
-        selected = self._mesh_streamer.select_blocks()
-        blocks = [MeshBlockMsg(index=Index3D(*key),
-                               vertices=mesh_layer.blocks[key].vertices,
-                               colors=mesh_layer.blocks[key].colors,
-                               triangles=mesh_layer.blocks[key].triangles)
-                  for key in selected if key in mesh_layer.blocks]
-        removed = [Index3D(*k) for k in self._published_mesh_blocks - current]
-        self._published_mesh_blocks |= set(selected)
-        self._published_mesh_blocks &= current
-        msg = MeshMsg(
-            header=Header(stamp_s=self.clock(),
-                          frame_id=self.params.global_frame),
-            block_size_m=static_mapper.voxel_size_m * 8,
-            blocks=blocks, removed_blocks=removed)
-        self.bus.publish("~/mesh", msg)
+        sent_any = (set.intersection(*self._mesh_sent_to.values())
+                    if self._mesh_sent_to else set())
+        never_published = current - sent_any
+        self._mesh_streamer.mark_dirty((never_published | remeshed) & current)
+        selected = set(self._mesh_streamer.select_blocks()) & current
+        removed_everywhere = set()
+        for sid in subs:
+            sent = self._mesh_sent_to.setdefault(sid, set())
+            # Late subscriber: resend everything it has never seen, on top
+            # of this round's budgeted selection.
+            to_send = (selected | (current - sent))
+            removed = sent - current
+            blocks = [MeshBlockMsg(index=Index3D(*key),
+                                   vertices=mesh_layer.blocks[key].vertices,
+                                   colors=mesh_layer.blocks[key].colors,
+                                   triangles=mesh_layer.blocks[key].triangles)
+                      for key in to_send if key in mesh_layer.blocks]
+            msg = MeshMsg(
+                header=Header(stamp_s=self.clock(),
+                              frame_id=self.params.global_frame),
+                block_size_m=static_mapper.voxel_size_m * 8,
+                blocks=blocks,
+                removed_blocks=[Index3D(*k) for k in removed])
+            self.bus.publish_to("~/mesh", sid, msg)
+            sent |= to_send
+            sent -= removed
+            removed_everywhere |= removed
+        # Drop state for unsubscribed ids.
+        for sid in list(self._mesh_sent_to.keys()):
+            if sid not in subs:
+                del self._mesh_sent_to[sid]
+
+    # Voxel-layer topics: channel name + optional validity-weight channel.
+    LAYER_TOPICS = {
+        "~/tsdf_layer": ("tsdf_distance", "tsdf_weight"),
+        "~/color_layer": ("color_r", "color_weight"),
+        "~/occupancy_layer": ("occupancy_log_odds", None),
+        "~/esdf_layer": ("esdf_sq_dist", None),
+        "~/freespace_layer": ("freespace_high_confidence", None),
+    }
 
     def _publish_voxel_layers(self) -> None:
-        """Incremental voxel-layer streaming (parity: LayerPublisher
-        serializeAndpublishSubscribedLayers, layer_publishing.cpp:675-826).
-
-        Publishes `VoxelBlockLayerMsg`s for subscribed layers; serialization
-        is skipped entirely when nobody subscribes (the reference's
-        subscriber-bitmask gate)."""
-        import numpy as np
-        from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+        """Budgeted incremental voxel-layer streaming (parity:
+        LayerPublisher::serializeAndpublishSubscribedLayers,
+        layer_publishing.cpp:675-826): only updated blocks are serialized
+        (vectorized gather, no per-block device work), all layers share the
+        bandwidth budget, removals are emitted, and late subscribers catch
+        up through the never-sent backlog."""
         import jax.numpy as jnp
-        from isaac_ros_nvblox_tpu.runtime.msgs import (VoxelBlockLayerMsg,
-                                                       VoxelBlockMsg)
+        from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+        from isaac_ros_nvblox_tpu.runtime.layer_streaming import (
+            LayerStreamer, StreamingParams)
         m = self.multi_mapper.static_mapper
-        layer_channels = {
-            "~/tsdf_layer": ("tsdf_distance", "tsdf_weight"),
-            "~/color_layer": ("color_rgb", "color_weight"),
-            "~/occupancy_layer": ("occupancy_log_odds", None),
-            "~/esdf_layer": ("esdf_sq_dist", None),
-            "~/freespace_layer": ("freespace_high_confidence", None),
-        }
-        for topic, (channel, weight_ch) in layer_channels.items():
-            if self.bus.num_subscribers(topic) == 0:
+        subscribed = [(topic, chs) for topic, chs in self.LAYER_TOPICS.items()
+                      if self.bus.num_subscribers(topic)
+                      and chs[0] in m.channels]
+        if not subscribed:
+            return
+        updated = set(getattr(m, "last_meshed_keys", []))
+        removed = device_io.take_removed_blocks(m)
+        # One slot lookup pass for all updated keys (host table-free).
+        slot_grid = np.asarray(m.state.slot_grid)
+        origin = np.asarray(m.world_config.origin_block)
+        dims = np.asarray(m.world_config.dims)
+
+        def slot_of(keys):
+            out = []
+            for k in keys:
+                c = np.asarray(k) - origin
+                if np.all(c >= 0) and np.all(c < dims):
+                    s = int(slot_grid[c[0], c[1], c[2]])
+                    if s >= 0:
+                        out.append((k, s))
+            return out
+
+        for topic, (channel, weight_ch) in subscribed:
+            streamer = self._layer_streamers.get(topic)
+            if streamer is None:
+                streamer = LayerStreamer(
+                    block_size_m=m.voxel_size_m * 8,
+                    params=StreamingParams(
+                        bandwidth_mbps=self.params
+                        .layer_streamer_bandwidth_limit_mbps),
+                    clock=self.clock)
+                self._layer_streamers[topic] = streamer
+            sent = self._layer_sent.setdefault(topic, set())
+            streamer.mark_dirty(updated | (updated - sent))
+            selected = streamer.select_blocks()
+            pairs = slot_of(selected)
+            if not pairs and not removed:
                 continue
-            if channel not in m.pool.channels:
-                continue
-            slots = m.table.allocated_slots()
-            if slots.size == 0:
-                continue
-            bidx = m.table.block_indices[slots]
-            centers = np.asarray(voxel_centers_for_blocks(
-                jnp.asarray(bidx), m.voxel_size_m))
-            values = np.asarray(m.pool[channel])[slots]
-            occupied = (np.asarray(m.pool[weight_ch])[slots] > 1e-4
-                        if weight_ch and weight_ch in m.pool.channels
-                        else np.ones(values.shape[:2], bool))
             blocks = []
-            for i in range(slots.size):
-                mask = occupied[i]
-                if not mask.any():
-                    continue
-                blocks.append(VoxelBlockMsg(
-                    index=Index3D(*bidx[i]),
-                    centers=centers[i][mask].astype(np.float32),
-                    values=values[i][mask]))
+            if pairs:
+                keys = [k for k, _ in pairs]
+                slots = np.asarray([s for _, s in pairs], np.int32)
+                bidx = np.asarray(keys, np.int64)
+                centers = np.asarray(voxel_centers_for_blocks(
+                    jnp.asarray(bidx), m.voxel_size_m))
+                values = np.asarray(m.channels[channel])[slots]
+                if weight_ch and weight_ch in m.channels:
+                    occupied = np.asarray(m.channels[weight_ch])[slots] > 1e-4
+                else:
+                    occupied = np.ones(values.shape[:2], bool)
+                for i, key in enumerate(keys):
+                    mask = occupied[i]
+                    if not mask.any():
+                        continue
+                    blocks.append(VoxelBlockMsg(
+                        index=Index3D(*key),
+                        centers=centers[i][mask].astype(np.float32),
+                        values=values[i][mask]))
+                sent |= set(keys)
+            sent -= set(removed)
             self.bus.publish(topic, VoxelBlockLayerMsg(
                 header=Header(stamp_s=self.clock(),
                               frame_id=self.params.global_frame),
                 layer_name=channel, block_size_m=m.voxel_size_m * 8,
                 voxel_size_m=m.voxel_size_m, blocks=blocks,
-                removed_blocks=[]))
+                removed_blocks=[Index3D(*k) for k in removed]))
 
     def shutdown(self, output_dir=None) -> None:
         """Shutdown hook: export the 2D occupancy map (parity: the map-saving
@@ -359,14 +452,9 @@ class NvbloxNode:
             return
         from isaac_ros_nvblox_tpu.io.occupancy_grid_io import \
             save_occupancy_grid
-        from isaac_ros_nvblox_tpu.ops.esdf_slicer import (
-            occupancy_grid_from_slice, slice_esdf_layer)
         m = self.multi_mapper.static_mapper
-        m.update_esdf()
-        res = slice_esdf_layer(
-            m.pool, m.table, voxel_size_m=m.voxel_size_m,
-            slice_height_m=self.params.esdf_slice_height,
-            max_distance_m=m.params.esdf.max_esdf_distance_m)
+        self.multi_mapper.update_esdf()
+        res = self._slice_one(m)
         if res is None:
             return
         spec, img = res
@@ -386,17 +474,17 @@ class NvbloxNode:
     # -------------------------------------------------------------- services
     def save_map(self, path) -> bool:
         """Parity: save_map service (nvblox_node.cpp:1654-1686)."""
-        from isaac_ros_nvblox_tpu.io.serialization import save_map
         fut = self.service_queue.submit(
-            lambda: save_map(self.multi_mapper.static_mapper, path))
+            lambda: device_io.save_map_device(
+                self.multi_mapper.static_mapper, path))
         self.tick()
         fut.result()
         return True
 
     def load_map(self, path) -> bool:
-        from isaac_ros_nvblox_tpu.io.serialization import load_map
         fut = self.service_queue.submit(
-            lambda: load_map(self.multi_mapper.static_mapper, path))
+            lambda: device_io.load_map_device(
+                self.multi_mapper.static_mapper, path))
         self.tick()
         fut.result()
         return True
@@ -405,17 +493,18 @@ class NvbloxNode:
         """Parity: save_ply service (nvblox_node.cpp:1598-1652)."""
         from pathlib import Path
         from isaac_ros_nvblox_tpu.io.ply import (write_mesh_ply,
-                                                 write_voxel_layer_ply)
+                                                 write_voxel_layer_ply_device)
 
         def work():
             d = Path(directory)
             m = self.multi_mapper.static_mapper
-            m.update_mesh(update_full_layer=True)
+            device_io.update_mesh_layer(m)
             v, c, t = m.mesh_layer.as_arrays()
             write_mesh_ply(d / "mesh.ply", v, t, c)
-            write_voxel_layer_ply(d / "tsdf.ply", m, "tsdf")
-            if "esdf_site" in m.pool.channels:
-                write_voxel_layer_ply(d / "esdf.ply", m, "esdf")
+            if "tsdf_distance" in m.channels:
+                write_voxel_layer_ply_device(d / "tsdf.ply", m, "tsdf")
+            if "esdf_sq_dist" in m.channels:
+                write_voxel_layer_ply_device(d / "esdf.ply", m, "esdf")
             return True
 
         fut = self.service_queue.submit(work)
@@ -438,16 +527,20 @@ class NvbloxNode:
                                update_esdf: bool = True,
                                clear_spheres=(), clear_aabbs=()):
         """Parity: EsdfAndGradients service (nvblox_node.cpp:1776-1876)."""
-        from isaac_ros_nvblox_tpu.ops.dense_grid import esdf_and_gradients
-
         def work():
             m = self.multi_mapper.static_mapper
             if clear_spheres or clear_aabbs:
                 m.clear_tsdf_inside_shapes(spheres=clear_spheres,
                                            aabbs=clear_aabbs)
             if update_esdf:
-                m.update_esdf()
-            return esdf_and_gradients(m, aabb_min_m, aabb_max_m)
+                m.update_esdf()  # the dense query needs the 3D field
+            from isaac_ros_nvblox_tpu.runtime.msgs import \
+                EsdfAndGradientsResponse
+            grid, grads, origin = device_io.esdf_and_gradients_device(
+                m, aabb_min_m, aabb_max_m)
+            return EsdfAndGradientsResponse(
+                success=True, origin_m=tuple(origin),
+                voxel_size_m=m.voxel_size_m, esdf=grid, gradients=grads)
 
         fut = self.service_queue.submit(work)
         self.tick()

@@ -31,9 +31,9 @@ def test_human_mode_splits_masked_depth():
     mask[:, :40] = 255  # left strip is "person"
     mm.integrate_depth(depth, T, CAM, mask=mask)
     # Static map got background; dynamic occupancy map got the foreground.
-    assert mm.static_mapper.table.num_allocated > 0
-    assert mm.dynamic_mapper.table.num_allocated > 0
-    lo = np.asarray(mm.dynamic_mapper.pool["occupancy_log_odds"])
+    assert mm.static_mapper.block_count() > 0
+    assert mm.dynamic_mapper.block_count() > 0
+    lo = np.asarray(mm.dynamic_mapper.channels["occupancy_log_odds"])
     assert (lo > 0).any()  # occupied evidence in the dynamic layer
 
 
@@ -78,15 +78,15 @@ def test_lidar_tsdf_integration():
     T[:3, 3] = (0, 0, 1.0)
     mm.integrate_pointcloud(pts, T, lidar=lidar)
     m = mm.static_mapper
-    assert m.table.num_allocated > 50
-    d = np.asarray(m.pool["tsdf_distance"])
-    w = np.asarray(m.pool["tsdf_weight"])
+    assert m.block_count() > 50
+    d = np.asarray(m.channels["tsdf_distance"])
+    w = np.asarray(m.channels["tsdf_weight"])
     assert (w > 0).any()
     # Surface voxels (near radius 3) have near-zero tsdf.
     from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
-    slots = m.table.allocated_slots()
+    slots = np.arange(int(m.state.alloc_count))
     centers = np.asarray(voxel_centers_for_blocks(
-        jnp.asarray(m.table.block_indices[slots]), VOXEL))
+        jnp.asarray(np.asarray(m.state.block_index_of_slot)[slots]), VOXEL))
     rad = np.linalg.norm(centers[..., :2], axis=-1)
     # inverse-square weighting at r=3 m gives w ~= 1/9 per scan.
     near = (np.abs(rad - 3.0) < 0.05) & (w[slots] > 0.05) \

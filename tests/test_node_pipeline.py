@@ -80,7 +80,7 @@ def test_rate_gates_limit_processing():
         t[0] = stamp
         node.tick()
         processed_blocks.append(
-            node.multi_mapper.static_mapper.table.num_allocated)
+            node.multi_mapper.static_mapper.block_count())
     # Only the first frame within the 1 Hz window integrates.
     from isaac_ros_nvblox_tpu.utils.timing import Rates
     assert processed_blocks[-1] == processed_blocks[0]
@@ -102,7 +102,7 @@ def test_multi_camera_and_lidar_inputs():
     node.add_depth_image(d2, cam2, "cam_b", 0.0)
     t[0] = 0.01
     node.tick()
-    n_after_cams = node.multi_mapper.static_mapper.table.num_allocated
+    n_after_cams = node.multi_mapper.static_mapper.block_count()
     assert n_after_cams > 0
 
     # Lidar scan: ring of points at 2 m.
@@ -115,7 +115,7 @@ def test_multi_camera_and_lidar_inputs():
     node.add_pointcloud(pts, "lidar", 0.05)
     t[0] = 0.06
     node.tick()
-    assert node.multi_mapper.static_mapper.table.num_allocated > n_after_cams
+    assert node.multi_mapper.static_mapper.block_count() > n_after_cams
 
 
 def test_mesh_streaming_respects_budget():
