@@ -134,6 +134,38 @@ def main():
     base = eager_loop(False)
     esdf_incr_ms = max(eager_loop(True) - base, 0.0)
 
+    # Node tick: the online runtime end-to-end (queues + pose lookup +
+    # device-resident integrate + 2D-ESDF cadence), wall time per tick
+    # including per-dispatch relay overhead — the number a robot host
+    # driving this chip would see.
+    from isaac_ros_nvblox_tpu.mapper.params import make_params
+    from isaac_ros_nvblox_tpu.runtime.node import NodeParams, NvbloxNode
+    clock_t = [0.0]
+    node = NvbloxNode(
+        NodeParams(), make_params(overlay={
+            "block_capacity": 16384,
+            "static_mapper": {"projective": {
+                "max_integration_distance_m": 5.0}}}),
+        clock=lambda: clock_t[0])
+    # Depth frames stay device-resident (the NITROS-parity condition: the
+    # reference's node receives zero-copy GPU buffers, nitros_types.hpp;
+    # uploading 1.2 MB/frame through this tunneled relay would otherwise
+    # dominate). Poses are host arrays, as from a real TF tree.
+    def node_pass(t_base: float) -> float:
+        for k in range(n_frames):
+            t = t_base + k * 0.025
+            clock_t[0] = t
+            node.add_pose("cam", t, poses_np[k])
+            node.add_depth_image(depths[k], camera, "cam", t)
+            node.tick()
+        _barrier(node.multi_mapper.static_mapper.channels["tsdf_distance"])
+        return time.perf_counter()
+
+    node_pass(0.0)   # warmup pass: map built, all region buckets compiled
+    t0 = time.perf_counter()
+    node_pass(1.0)   # steady state
+    node_tick_ms = (time.perf_counter() - t0) * 1e3 / n_frames
+
     fps = 1000.0 / (tsdf_ms + esdf_ms)
 
     # --- Accuracy vs the analytic scene (reconstruction parity check). ---
@@ -167,6 +199,7 @@ def main():
         "tsdf_ms": round(tsdf_ms, 3),
         "esdf_ms": round(esdf_ms, 3),
         "esdf_incremental_ms": round(esdf_incr_ms, 3),
+        "node_tick_ms": round(node_tick_ms, 3),
         "mesh_ms": round(mesh_ms, 3),
         "tsdf_mae_m": round(tsdf_mae, 4),
         "esdf_mae_m": round(esdf_mae, 4),

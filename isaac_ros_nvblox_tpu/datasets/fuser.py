@@ -14,7 +14,6 @@ import numpy as np
 
 from isaac_ros_nvblox_tpu.datasets.base import (DataLoader, DataLoadResult,
                                                 Frame)
-from isaac_ros_nvblox_tpu.mapper.mapper import Mapper
 from isaac_ros_nvblox_tpu.mapper.params import MapperParams, ProjectiveLayerType
 from isaac_ros_nvblox_tpu.utils.timing import Rates, Timer
 
@@ -32,18 +31,42 @@ class FuserConfig:
 
 
 class Fuser:
+    """Dataset replay driver. `backend="device"` (default) runs on the
+    device-resident DeviceMapper (the production path); `backend="host"`
+    keeps the CPU-friendly host-table Mapper for debugging."""
+
     def __init__(self, loader: DataLoader,
                  config: Optional[FuserConfig] = None,
-                 mapper_params: Optional[MapperParams] = None):
+                 mapper_params: Optional[MapperParams] = None,
+                 backend: str = "device", world=None):
         self.loader = loader
         self.config = config or FuserConfig()
-        self.mapper = Mapper(
-            voxel_size_m=self.config.voxel_size_m,
-            params=mapper_params,
-            projective_layer=ProjectiveLayerType.TSDF,
-            capacity=self.config.capacity,
-            enable_color=True, enable_esdf=True)
+        self.backend = backend
+        if backend == "device":
+            from isaac_ros_nvblox_tpu.core import world_grid as wg
+            from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
+            world = world or wg.WorldGridConfig(
+                dims=(128, 128, 32), capacity=self.config.capacity,
+                origin_block=(-64, -64, -8))
+            self.mapper = DeviceMapper(
+                voxel_size_m=self.config.voxel_size_m, params=mapper_params,
+                world=world, enable_color=True, enable_esdf=True)
+        else:
+            from isaac_ros_nvblox_tpu.mapper.mapper import Mapper
+            self.mapper = Mapper(
+                voxel_size_m=self.config.voxel_size_m,
+                params=mapper_params,
+                projective_layer=ProjectiveLayerType.TSDF,
+                capacity=self.config.capacity,
+                enable_color=True, enable_esdf=True)
         self.frame_count = 0
+
+    def _update_mesh(self, full: bool = False) -> None:
+        if self.backend == "device":
+            from isaac_ros_nvblox_tpu.mapper import device_io
+            device_io.update_mesh_layer(self.mapper)
+        else:
+            self.mapper.update_mesh(update_full_layer=full)
 
     def integrate_frame(self, frame: Frame) -> None:
         with Timer("fuser/depth"):
@@ -61,7 +84,7 @@ class Fuser:
             Rates.tick("fuser/esdf")
         if self.frame_count % self.config.mesh_frame_subsampling == 0:
             with Timer("fuser/mesh"):
-                self.mapper.update_mesh()
+                self._update_mesh()
             Rates.tick("fuser/mesh")
         self.frame_count += 1
 
@@ -75,7 +98,7 @@ class Fuser:
                 break
         # Final full updates so outputs are complete.
         self.mapper.update_esdf()
-        self.mapper.update_mesh(update_full_layer=False)
+        self._update_mesh()
         return n
 
     def output_mesh_ply(self, path) -> None:

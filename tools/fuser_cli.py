@@ -102,17 +102,18 @@ def main():
             fuser.integrate_frame(frame)
             if fuser.frame_count % 10 == 0:
                 print(f"frame {fuser.frame_count}, "
-                      f"{fuser.mapper.table.num_allocated} blocks, "
+                      f"{fuser.mapper.block_count()} blocks, "
                       f"depth {Rates.rate_hz('fuser/depth'):.1f} Hz")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     fuser.mapper.update_esdf()
-    fuser.mapper.update_mesh(update_full_layer=True)
+    fuser._update_mesh(full=True)
     fuser.output_mesh_ply(out / "mesh.ply")
     from isaac_ros_nvblox_tpu.io.ply import write_voxel_layer_ply
-    write_voxel_layer_ply(out / "tsdf.ply", fuser.mapper, "tsdf")
-    write_voxel_layer_ply(out / "esdf.ply", fuser.mapper, "esdf")
+    from isaac_ros_nvblox_tpu.io.ply import write_voxel_layer_ply_device
+    write_voxel_layer_ply_device(out / "tsdf.ply", fuser.mapper, "tsdf")
+    write_voxel_layer_ply_device(out / "esdf.ply", fuser.mapper, "esdf")
     (out / "timings.txt").write_text(Timing.to_string() + "\n")
     print(f"wrote {out}/mesh.ply, tsdf.ply, esdf.ply, timings.txt")
     print(Timing.to_string())
