@@ -83,23 +83,31 @@ def decay_tsdf(distance, weight, block_indices_all, T_L_C, *,
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
 def decay_occupancy(log_odds, *, params: OccupancyDecayParams
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Decay occupancy log-odds toward 0 (unknown prior).
+    """Decay occupancy log-odds toward the prior.
 
-    Matches the reference's asymmetric decay: occupied voxels decay with the
-    occupied_region_decay_probability step, free voxels with the free one.
-    Returns (log_odds, block_max_abs_log_odds) for deallocation decisions.
+    Matches the reference's asymmetric decay: occupied voxels decay with
+    the occupied_region_decay_probability step, free voxels with the free
+    one. With `to_free` (occupancy_decay_to_free, mapper_initialization
+    .cpp:406-428), the decay target is the free-region probability instead
+    of the 0.5 unknown prior — voxels not re-observed drift toward free.
+    Returns (log_odds, block_max_distance_from_target) for deallocation.
     """
     import math
     l_occ_step = math.log((1 - params.occupied_region_decay_probability)
                           / params.occupied_region_decay_probability)
     l_free_step = math.log(params.free_region_decay_probability
                            / (1 - params.free_region_decay_probability))
-    # Move toward zero without overshooting.
-    decayed_occ = jnp.maximum(log_odds - l_occ_step, 0.0)
-    decayed_free = jnp.minimum(log_odds + l_free_step, 0.0)
-    out = jnp.where(log_odds > 0, decayed_occ,
-                    jnp.where(log_odds < 0, decayed_free, log_odds))
-    return out, jnp.max(jnp.abs(out), axis=1)
+    if params.to_free:
+        target = math.log(params.free_region_decay_probability
+                          / (1 - params.free_region_decay_probability))
+    else:
+        target = 0.0
+    # Move toward the target without overshooting.
+    decayed_down = jnp.maximum(log_odds - l_occ_step, target)
+    decayed_up = jnp.minimum(log_odds + l_free_step, target)
+    out = jnp.where(log_odds > target, decayed_down,
+                    jnp.where(log_odds < target, decayed_up, log_odds))
+    return out, jnp.max(jnp.abs(out - target), axis=1)
 
 
 def deallocate_fully_decayed_blocks(pool, table, block_metric: np.ndarray,

@@ -2,9 +2,8 @@
 
 The genuinely new capability vs the single-GPU reference (BASELINE.json
 north star): shard the voxel-block map into x-slabs across a device mesh,
-integrate every sensor frame into each shard's slab simultaneously, and
-keep the ESDF consistent across slab boundaries with ghost-layer exchange
-over `lax.ppermute`.
+integrate sensor frames into the owning shards, and keep the ESDF exact
+across slab boundaries with halo exchange over `lax.ppermute`.
 
 Decomposition:
   * the global world grid (Dx, Dy, Dz blocks) splits into `n` x-slabs of
@@ -12,31 +11,44 @@ Decomposition:
     **ghost layer** per inner face, overlapping the neighbor's boundary;
   * every per-shard state/channel array gains a leading [n] axis sharded
     over the 1-D mesh axis "space" (`PartitionSpec("space")`);
-  * depth frames are replicated; each shard's allocator clips the view to
-    its slab automatically (WorldGrid bounds), and ghost blocks integrate
-    on both sides of a boundary consistently (same deterministic math);
-  * after ESDF sweeps, shards exchange boundary-layer site coordinates in
-    grid space: a dense face tensor [Dy*Dz, 512, 3] is built by row
-    gathers, `ppermute`d to the neighbor, and scattered into its ghost
-    blocks (allocating them on arrival if the sender observed them) —
-    the halo-exchange analogue of ring sequence parallelism
-    (SURVEY.md §5.7-5.8).
+  * depth/color frames are broadcast, but each shard **skips the fused
+    integration entirely when its slab doesn't intersect the view**
+    (lax.cond on the view-batch count) — the cheap form of frame routing;
+  * ESDF: round 2 replaces the iterated sweep+exchange rounds with the
+    exact dense separable EDT (ops/esdf_dense.py). Only the x pass crosses
+    shard boundaries, so ONE ppermute halo exchange of `band` voxels
+    (ceil(band/8) block layers) of site data per side makes the per-shard
+    solve exact: each shard solves its slab + halo read region and keeps
+    its owned columns — provably equal to the single-device solve (a
+    distance within the slab depends only on sites within `band` of it);
+  * meshing runs per shard over dirty owned blocks (the +1-voxel halo
+    comes from the ghost layer); the host gathers owned-block triangle
+    soup for publishing.
 
 All steps are shard_map'd pure functions over a WorldGridState/channels
 pytree with a leading device axis, so the same code runs on an 8-device
-virtual CPU mesh (tests / driver dry run) and on real multi-chip slices.
+virtual CPU mesh (tests / driver dry run), on real multi-chip slices over
+ICI, and across hosts over DCN after `parallel.distributed.initialize`
+(SURVEY.md §5.7-5.8).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _sm
+    import functools as _ft
+    shard_map = _ft.partial(_sm, check_vma=False)
+except ImportError:  # older jax spells it check_rep
+    from jax.experimental.shard_map import shard_map as _sm
+    import functools as _ft
+    shard_map = _ft.partial(_sm, check_rep=False)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from isaac_ros_nvblox_tpu.core import world_grid as wg
@@ -44,7 +56,9 @@ from isaac_ros_nvblox_tpu.core.types import VOXELS_PER_BLOCK, VOXELS_PER_SIDE
 from isaac_ros_nvblox_tpu.mapper.params import MapperParams
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops import esdf as esdf_ops
+from isaac_ros_nvblox_tpu.ops import esdf_dense as ed
 from isaac_ros_nvblox_tpu.ops import view as view_ops
+from isaac_ros_nvblox_tpu.ops.color import integrate_color_planar
 from isaac_ros_nvblox_tpu.ops.tsdf import integrate_tsdf
 
 B = VOXELS_PER_SIDE
@@ -60,10 +74,18 @@ class ShardedMapperConfig:
     capacity_per_shard: int = 4096
     voxel_size_m: float = 0.05
     max_blocks_per_frame: int = 1024
+    mesh_max_blocks: int = 512
+    enable_color: bool = False
 
     @property
     def slab_width(self) -> int:
-        assert self.global_dims[0] % self.n_shards == 0
+        if self.global_dims[0] % self.n_shards != 0:
+            raise ValueError(
+                f"global x extent {self.global_dims[0]} must divide evenly "
+                f"into {self.n_shards} shards")
+        if self.global_dims[1] % 8 or self.global_dims[2] % 8:
+            raise ValueError("global y/z extents must be multiples of 8 "
+                             "blocks (EDT pass-kernel block constraint)")
         return self.global_dims[0] // self.n_shards
 
 
@@ -93,19 +115,26 @@ class ShardedDeviceMapper:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         sh = NamedSharding(mesh, P("space"))
         self.state = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
-        self.channels = {
+        self.channels: Dict[str, jnp.ndarray] = {
             "tsdf_distance": jax.device_put(
                 jnp.zeros((c.n_shards, cap, V), jnp.float32), sh),
             "tsdf_weight": jax.device_put(
                 jnp.zeros((c.n_shards, cap, V), jnp.float32), sh),
-            "esdf_site": jax.device_put(
-                jnp.full((c.n_shards, cap, V, 3), 1.0e6, jnp.float32), sh),
             "esdf_sq_dist": jax.device_put(
                 jnp.full((c.n_shards, cap, V), float(esdf_ops.INF_SQ),
                          jnp.float32), sh),
         }
+        if c.enable_color:
+            for name in ("color_r", "color_g", "color_b", "color_weight"):
+                self.channels[name] = jax.device_put(
+                    jnp.zeros((c.n_shards, cap, V), jnp.float32), sh)
+        self.dirty = jax.device_put(
+            jnp.zeros((c.n_shards, cap), jnp.bool_), sh)
         self._integrate = self._build_integrate()
+        self._integrate_color = (self._build_integrate_color()
+                                 if c.enable_color else None)
         self._esdf = self._build_esdf()
+        self._mesh = self._build_mesh()
 
     # ------------------------------------------------------------ integrate
     def _build_integrate(self):
@@ -114,43 +143,114 @@ class ShardedDeviceMapper:
         p = self.params.projective
         vs = c.voxel_size_m
 
-        def local(state, distance, weight, depth, T_L_C):
+        def local(state, distance, weight, dirty, depth, T_L_C):
             state = jax.tree.map(lambda x: x[0], state)
             distance = distance[0]
             weight = weight[0]
+            dirty = dirty[0]
             grid, origin = view_ops.touched_block_grid(
                 depth, T_L_C, camera=camera, voxel_size_m=vs,
                 max_distance_m=p.max_integration_distance_m,
                 truncation_m=p.truncation_m(vs), subsample=1)
             state = wg.allocate_from_mask(state, grid, origin)
-            slots, bidx, _ = wg.view_batch(
+            slots, bidx, n_valid = wg.view_batch(
                 state, grid, origin, max_blocks=c.max_blocks_per_frame)
-            distance, weight = integrate_tsdf(
-                distance, weight, slots, bidx, depth, T_L_C, camera=camera,
-                voxel_size_m=vs, params=p)
+
+            # Frame routing, the cheap way: shards whose slab the view does
+            # not touch skip the integration kernel entirely.
+            def run(args):
+                d, w, dt = args
+                d, w = integrate_tsdf(
+                    d, w, slots, bidx, depth, T_L_C, camera=camera,
+                    voxel_size_m=vs, params=p)
+                dt = dt.at[slots].set(True, mode="drop")
+                return d, w, dt
+
+            distance, weight, dirty = jax.lax.cond(
+                n_valid > 0, run, lambda args: args,
+                (distance, weight, dirty))
             return (jax.tree.map(lambda x: x[None], state),
-                    distance[None], weight[None])
+                    distance[None], weight[None], dirty[None])
 
         spec = P("space")
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(jax.tree.map(lambda _: spec, self.state),
-                      spec, spec, P(), P()),
-            out_specs=(jax.tree.map(lambda _: spec, self.state), spec, spec),
-            check_rep=False)
-        return jax.jit(fn, donate_argnums=(0, 1, 2))
+                      spec, spec, spec, P(), P()),
+            out_specs=(jax.tree.map(lambda _: spec, self.state),
+                       spec, spec, spec))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
     def integrate_depth(self, depth, T_L_C) -> None:
         depth = jnp.asarray(depth, jnp.float32)
         T_L_C = jnp.asarray(T_L_C, jnp.float32)
-        self.state, d, w = self._integrate(
+        self.state, d, w, self.dirty = self._integrate(
             self.state, self.channels["tsdf_distance"],
-            self.channels["tsdf_weight"], depth, T_L_C)
+            self.channels["tsdf_weight"], self.dirty, depth, T_L_C)
         self.channels["tsdf_distance"] = d
         self.channels["tsdf_weight"] = w
 
+    def _build_integrate_color(self):
+        c = self.config
+        camera = self.camera
+        p = self.params.projective
+        vs = c.voxel_size_m
+
+        def local(state, r, g, b, cw, tsdf_d, tsdf_w, color, depth, T_L_C):
+            state = jax.tree.map(lambda x: x[0], state)
+            r, g, b, cw = r[0], g[0], b[0], cw[0]
+            tsdf_d, tsdf_w = tsdf_d[0], tsdf_w[0]
+            grid, origin = view_ops.touched_block_grid(
+                jnp.full((camera.height, camera.width),
+                         p.max_integration_distance_m, jnp.float32),
+                T_L_C, camera=camera, voxel_size_m=vs,
+                max_distance_m=p.max_integration_distance_m,
+                truncation_m=p.truncation_m(vs), subsample=1)
+            slots, bidx, n_valid = wg.view_batch(
+                state, grid, origin, max_blocks=c.max_blocks_per_frame)
+
+            def run(args):
+                r, g, b, cw = args
+                return integrate_color_planar(
+                    r, g, b, cw, tsdf_d, tsdf_w, slots, bidx, color, depth,
+                    T_L_C, camera=camera, voxel_size_m=vs, params=p)
+
+            r, g, b, cw = jax.lax.cond(n_valid > 0, run, lambda a: a,
+                                       (r, g, b, cw))
+            return r[None], g[None], b[None], cw[None]
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state),
+                      spec, spec, spec, spec, spec, spec, P(), P(), P()),
+            out_specs=(spec, spec, spec, spec))
+        return jax.jit(fn, donate_argnums=(1, 2, 3, 4))
+
+    def integrate_color(self, color, depth, T_L_C) -> None:
+        if self._integrate_color is None:
+            return
+        r, g, b, cw = self._integrate_color(
+            self.state, self.channels["color_r"], self.channels["color_g"],
+            self.channels["color_b"], self.channels["color_weight"],
+            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+            jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(T_L_C, jnp.float32))
+        self.channels["color_r"] = r
+        self.channels["color_g"] = g
+        self.channels["color_b"] = b
+        self.channels["color_weight"] = cw
+
     # ----------------------------------------------------------------- esdf
     def _build_esdf(self):
+        """Sharded exact dense EDT: one halo exchange, three local passes.
+
+        Per shard the solve covers its owned slab plus `hb` halo block
+        layers per side along x (hb = ceil(band/8)), whose site data
+        arrives from the neighbors with a single ppermute each way. The y
+        and z passes are shard-local. Results are exact — identical to the
+        single-device dense EDT on the union map.
+        """
         c = self.config
         ep = self.params.esdf
         vs = c.voxel_size_m
@@ -158,106 +258,191 @@ class ShardedDeviceMapper:
         cap = c.capacity_per_shard
         Dy, Dz = c.global_dims[1], c.global_dims[2]
         n = c.n_shards
-        max_sq = (ep.max_esdf_distance_m / vs) ** 2
-        bs = vs * B
-        n_rounds = int(np.ceil(ep.max_esdf_distance_m / bs)) + 1
-        SENT = 1.0e6
+        band = int(np.ceil(ep.max_esdf_distance_m / vs))
+        hb = (band + 7) // 8        # halo width in block layers
+        INF = ed.INF
 
-        def face_payload(state, site, x_cell):
-            """Site data + allocated mask for all blocks at local x=x_cell."""
-            yz_slots = state.slot_grid[x_cell].reshape(-1)       # [Dy*Dz]
-            data = site[jnp.clip(yz_slots, 0, cap - 1)]          # [F,512,3]
-            ok = yz_slots >= 0
-            data = jnp.where(ok[:, None, None], data, SENT)
-            return data, ok
+        def g0_layers(state, g0, x_lo: int, width: int):
+            """Dense site rows for local grid layers [x_lo, x_lo+width):
+            f32[width, Dy*Dz, 512] (INF where unallocated)."""
+            outs = []
+            for x in range(x_lo, x_lo + width):
+                yz_slots = state.slot_grid[x].reshape(-1)
+                data = g0[jnp.clip(yz_slots, 0, cap - 1)]
+                data = jnp.where((yz_slots >= 0)[:, None], data, INF)
+                outs.append(data)
+            return jnp.stack(outs)
 
-        def scatter_face(state, site, x_cell, data, ok):
-            """Write received face data into ghost blocks at x=x_cell."""
-            yz_slots = state.slot_grid[x_cell].reshape(-1)
-            write = ok & (yz_slots >= 0)
-            tgt = jnp.where(write, yz_slots, cap)                # drop others
-            return site.at[tgt].set(data, mode="drop")
-
-        def local(state, site_pool, sq, tsdf_d, tsdf_w, bidx_all):
+        def local(state, tsdf_d, tsdf_w):
             state = jax.tree.map(lambda x: x[0], state)
-            site_pool = site_pool[0]
             tsdf_d = tsdf_d[0]
             tsdf_w = tsdf_w[0]
-            bidx_all = bidx_all[0]
-            del sq
-
-            is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+            is_site, _, _ = esdf_ops.esdf_sites_from_tsdf(
                 tsdf_d, tsdf_w, voxel_size_m=jnp.float32(vs),
                 max_site_distance_vox=float(ep.max_site_distance_vox),
                 min_weight=float(ep.min_weight))
-            offs = esdf_ops._local_offsets_f32()
-            own = (bidx_all.astype(jnp.float32)[:, None, :] * B + offs[None])
-            site_pool = jnp.where(is_site[..., None], own, SENT)
+            g0 = jnp.where(is_site, np.float32(0.0), INF)
 
-            slots, bidx, _ = wg.allocated_batch(state, max_blocks=cap)
-            nbrs = wg.neighbor_slots_of(state, bidx)
-
+            # Owned slab layers are local x in [1, L]; exchange hb boundary
+            # layers of sites each way (ring wrap dropped at the ends).
+            send_r = g0_layers(state, g0, L + 1 - hb, hb)   # my right edge
+            send_l = g0_layers(state, g0, 1, hb)            # my left edge
             right = [(i, (i + 1) % n) for i in range(n)]
             left = [(i, (i - 1) % n) for i in range(n)]
+            from_l = jax.lax.ppermute(send_r, "space", right)
+            from_r = jax.lax.ppermute(send_l, "space", left)
+            idx = jax.lax.axis_index("space")
+            from_l = jnp.where(idx > 0, from_l, INF)
+            from_r = jnp.where(idx < n - 1, from_r, INF)
 
-            def one_round(_, site_pool):
-                # Local relaxation (XLA sweep for portability inside
-                # shard_map; the single-chip path uses the Pallas kernel).
-                # Current best = actual distance to the held site (INF when
-                # none) so closer sites can still displace it.
-                cur_diff = own - site_pool
-                sq_cur = jnp.where(
-                    jnp.any(site_pool >= SENT * 0.5, axis=-1),
-                    esdf_ops.INF_SQ,
-                    jnp.sum(cur_diff * cur_diff, axis=-1))
-                site_new, _, _ = esdf_ops.esdf_sweep_pass(
-                    site_pool, sq_cur, nbrs, slots, bidx,
-                    inner_iters=B, max_sq_dist_vox=float(max_sq))
-                site_pool = site_new
-                # Ghost exchange: owned boundary layers -> neighbor ghosts.
-                data_r, ok_r = face_payload(state, site_pool, L)   # to right
-                data_l, ok_l = face_payload(state, site_pool, 1)   # to left
-                recv_r = jax.lax.ppermute(data_r, "space", right)
-                okr = jax.lax.ppermute(ok_r, "space", right)
-                recv_l = jax.lax.ppermute(data_l, "space", left)
-                okl = jax.lax.ppermute(ok_l, "space", left)
-                # The ring wraps; spatially there is no neighbor beyond the
-                # outermost slabs — drop wrapped payloads at the ends.
-                idx = jax.lax.axis_index("space")
-                okr = okr & (idx > 0)
-                okl = okl & (idx < n - 1)
-                # Received-from-left goes into my left ghost (x=0);
-                # received-from-right into my right ghost (x=L+1).
-                site_pool = scatter_face(state, site_pool, 0, recv_r, okr)
-                site_pool = scatter_face(state, site_pool, L + 1, recv_l, okl)
-                return site_pool
+            own = g0_layers(state, g0, 1, L)                # [L, Dy*Dz, 512]
+            slab = jnp.concatenate([from_l, own, from_r])   # [L+2hb, ...]
+            # Pad the region's x extent to a multiple of 8 (Mosaic block
+            # constraint on the pass kernels); pad layers hold no sites.
+            Sx_real = L + 2 * hb
+            Sx_pad8 = ((Sx_real + 7) // 8) * 8
+            if Sx_pad8 > Sx_real:
+                slab = jnp.concatenate(
+                    [slab, jnp.full((Sx_pad8 - Sx_real,) + slab.shape[1:],
+                                    INF)])
 
-            site_pool = jax.lax.fori_loop(0, n_rounds, one_round, site_pool)
+            # Block-major x-pass rows: lines are (cy, cz) with x contiguous
+            # (+ INF halo/pad rows per line).
+            dims_b = (Sx_pad8, Dy, Dz)
+            n_lines_x, Sx = ed._line_dims(dims_b, 0)
+            rows_per_line = ed.line_rows(Sx, band)
+            Hb = ed.halo_blocks(band)
+            rows_x = jnp.full((n_lines_x * rows_per_line, V), INF)
+            # slab is [x, (y*Dz + z)] == line index directly.
+            lanes = slab.transpose(1, 0, 2)                 # [Dy*Dz, X, 512]
+            lanes = jnp.pad(
+                lanes, ((0, 0), (Hb, rows_per_line - Sx - Hb), (0, 0)),
+                constant_values=INF)
+            rows_x = lanes.reshape(-1, V)
 
-            diff = own - site_pool
-            sq_out = jnp.sum(diff * diff, axis=-1)
-            sq_out = jnp.where(jnp.any(site_pool >= SENT * 0.5, axis=-1),
-                               esdf_ops.INF_SQ,
-                               jnp.minimum(sq_out, esdf_ops.INF_SQ))
-            sq_out = jnp.where(is_site, 0.0, sq_out)
-            return site_pool[None], sq_out[None]
+            out_x = ed.edt_pass_blockmajor(
+                rows_x, n_lines=n_lines_x, Sb=Sx, band=band, axis=0,
+                interpret=jax.default_backend() != "tpu")
+            rows_y = ed._repad(out_x, dims_b, 0, 1, band)
+            n_lines_y, Sy = ed._line_dims(dims_b, 1)
+            out_y = ed.edt_pass_blockmajor(
+                rows_y, n_lines=n_lines_y, Sb=Sy, band=band, axis=1,
+                interpret=jax.default_backend() != "tpu")
+            rows_z = ed._repad(out_y, dims_b, 1, 2, band)
+            n_lines_z, Sz = ed._line_dims(dims_b, 2)
+            out_z = ed.edt_pass_blockmajor(
+                rows_z, n_lines=n_lines_z, Sb=Sz, band=band, axis=2,
+                interpret=jax.default_backend() != "tpu")
+
+            # Gather each slot's row back (z-order compact, region-relative
+            # cell: local grid cell + (hb-1, 0, 0) since region x starts at
+            # local x = 1 - hb).
+            cells = (state.block_index_of_slot
+                     - state.origin_block[None, :])
+            cells = cells.at[:, 0].add(hb - 1)
+            live = wg.live_slot_mask(state)
+            in_r = (live & (cells[:, 0] >= 0) & (cells[:, 0] < dims_b[0])
+                    & (cells[:, 1] >= 0) & (cells[:, 1] < Dy)
+                    & (cells[:, 2] >= 0) & (cells[:, 2] < Dz))
+            row_z = ed._row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2],
+                                    dims_b, 2, band, padded=False)
+            row_z = jnp.clip(row_z, 0, out_z.shape[0] - 1)
+            sq = out_z[row_z]
+            sq = jnp.where(in_r[:, None], sq, INF)
+            sq = jnp.where(sq <= np.float32(band * band), sq, INF)
+            return sq[None]
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state), spec, spec),
+            out_specs=spec)
+        return jax.jit(fn)
+
+    def update_esdf(self) -> None:
+        self.channels["esdf_sq_dist"] = self._esdf(
+            self.state, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"])
+
+    # ----------------------------------------------------------------- mesh
+    def _build_mesh(self):
+        c = self.config
+        vs = c.voxel_size_m
+        cap = c.capacity_per_shard
+        L = c.slab_width
+        mb = c.mesh_max_blocks
+        min_w = float(self.params.mesh.min_weight)
+
+        def local(state, dirty, tsdf_d, tsdf_w, color_grid):
+            from isaac_ros_nvblox_tpu.mapper.device_mapper import \
+                _compact_dirty_impl
+            from isaac_ros_nvblox_tpu.ops.mesh import marching_cubes_blocks
+            state = jax.tree.map(lambda x: x[0], state)
+            dirty = dirty[0]
+            tsdf_d = tsdf_d[0]
+            tsdf_w = tsdf_w[0]
+            color_grid = color_grid[0]
+            # Mesh owned blocks only (ghost copies are meshed by the owner).
+            x_local = (state.block_index_of_slot[:, 0]
+                       - state.origin_block[0])
+            owned = (x_local >= 1) & (x_local <= L)
+            slots, bidx = _compact_dirty_impl(state, dirty & owned,
+                                              max_blocks=mb)
+            nbrs = wg.neighbor_slots_of(state, bidx)
+            verts, colors, valid = marching_cubes_blocks(
+                tsdf_d.reshape(cap, B, B, B), tsdf_w.reshape(cap, B, B, B),
+                color_grid, nbrs, bidx, voxel_size_m=vs, min_weight=min_w)
+            valid = valid & (slots < cap)[:, None, None]
+            dirty = dirty & ~owned  # meshed blocks are clean now
+            return (verts[None], colors[None], valid[None], bidx[None],
+                    slots[None], dirty[None])
 
         spec = P("space")
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(jax.tree.map(lambda _: spec, self.state),
-                      spec, spec, spec, spec, spec),
-            out_specs=(spec, spec),
-            check_rep=False)
-        return jax.jit(fn, donate_argnums=(1, 2))
+                      spec, spec, spec, spec),
+            out_specs=(spec,) * 6)
+        return jax.jit(fn)
 
-    def update_esdf(self) -> None:
-        site, sq = self._esdf(
-            self.state, self.channels["esdf_site"],
-            self.channels["esdf_sq_dist"], self.channels["tsdf_distance"],
-            self.channels["tsdf_weight"], self.state.block_index_of_slot)
-        self.channels["esdf_site"] = site
-        self.channels["esdf_sq_dist"] = sq
+    def update_mesh_dirty(self):
+        """Sharded incremental marching cubes over dirty owned blocks.
+
+        Returns per-shard device arrays (verts, colors, valid, bidx,
+        slots); use export_mesh_blocks for the host gather."""
+        c = self.config
+        cap = c.capacity_per_shard
+        if c.enable_color:
+            color_grid = jnp.stack(
+                [self.channels[ch] for ch in
+                 ("color_r", "color_g", "color_b")],
+                axis=-1).reshape(c.n_shards, cap, B, B, B, 3)
+        else:
+            color_grid = jnp.zeros((c.n_shards, cap, B, B, B, 3),
+                                   jnp.float32)
+        verts, colors, valid, bidx, slots, self.dirty = self._mesh(
+            self.state, self.dirty, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"], color_grid)
+        return verts, colors, valid, bidx, slots
+
+    def export_mesh_blocks(self):
+        """Host: gather owned-block triangle soup from all shards.
+
+        Returns {block_key: (verts f32[T,3,3], colors f32[T,3,3])} — the
+        publishing-side owned-block gather."""
+        verts, colors, valid, bidx, slots = jax.tree.map(
+            np.asarray, self.update_mesh_dirty())
+        cap = self.config.capacity_per_shard
+        out = {}
+        for s in range(self.config.n_shards):
+            for i in range(bidx.shape[1]):
+                if slots[s, i] >= cap:
+                    continue
+                m = valid[s, i].reshape(-1)
+                key = tuple(int(v) for v in bidx[s, i])
+                out[key] = (verts[s, i].reshape(-1, 3, 3)[m],
+                            colors[s, i].reshape(-1, 3, 3)[m])
+        return out
 
     # ------------------------------------------------------------- queries
     def owned_block_mask(self, shard: int) -> np.ndarray:
@@ -268,7 +453,8 @@ class ShardedDeviceMapper:
         count = int(state_np.alloc_count[shard])
         bidx = state_np.block_index_of_slot[shard][:count]
         x_local = bidx[:, 0] - state_np.origin_block[shard][0]
-        return (x_local >= 1) & (x_local <= L)
+        return (x_local >= 1) & (x_local <= L) \
+            & (bidx[:, 0] < wg.FREED_BLOCK_SENTINEL)
 
     def total_owned_blocks(self) -> int:
         return sum(int(self.owned_block_mask(s).sum())

@@ -109,8 +109,20 @@ class NvbloxNode:
                  world=None,
                  clock=time.monotonic):
         self.params = params or NodeParams()
-        self.multi_mapper = MultiMapper(mapper_params or MultiMapperParams(),
-                                        world=world)
+        mapper_params = mapper_params or MultiMapperParams()
+        # The node-level 2D slice band configures the mapper's ESDF slice
+        # params (parity: esdf_2d_min/max_height flowing into the esdf
+        # integrator slice bounds, mapper_initialization.cpp:255-260).
+        import dataclasses as _dc
+        sp = _dc.replace(mapper_params.static_mapper.esdf_slice,
+                         esdf_slice_min_height=self.params.esdf_2d_min_height,
+                         esdf_slice_max_height=self.params.esdf_2d_max_height,
+                         esdf_slice_height=self.params.esdf_slice_height)
+        mapper_params = _dc.replace(
+            mapper_params,
+            static_mapper=_dc.replace(mapper_params.static_mapper,
+                                      esdf_slice=sp))
+        self.multi_mapper = MultiMapper(mapper_params, world=world)
         self.transformer = Transformer(global_frame=self.params.global_frame)
         self.bus = bus or MessageBus()
         self.clock = clock

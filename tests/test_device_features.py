@@ -241,3 +241,23 @@ def test_workspace_bounds_on_device_path():
     z_lo = bidx[:, 2] * 8 * VOXEL
     z_hi = z_lo + 8 * VOXEL
     assert (z_hi > 0.8).all() and (z_lo < 1.6).all()
+
+
+def test_occupancy_decay_to_free():
+    """occupancy_decay to_free: unobserved voxels drift to the free prior
+    instead of unknown (mapper_initialization.cpp:406-428)."""
+    import math
+    from isaac_ros_nvblox_tpu.ops.decay import (OccupancyDecayParams,
+                                                decay_occupancy)
+    p_free = OccupancyDecayParams(to_free=True)
+    p_unknown = OccupancyDecayParams(to_free=False)
+    lo = jnp.asarray([[3.0, -3.0, 0.0]], jnp.float32)
+    out_f = lo + 0  # decay donates its input
+    out_u = lo + 0
+    for _ in range(50):
+        out_f, _ = decay_occupancy(out_f, params=p_free)
+        out_u, _ = decay_occupancy(out_u, params=p_unknown)
+    target = math.log(p_free.free_region_decay_probability
+                      / (1 - p_free.free_region_decay_probability))
+    np.testing.assert_allclose(np.asarray(out_f)[0], target, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_u)[0], 0.0, atol=1e-5)
