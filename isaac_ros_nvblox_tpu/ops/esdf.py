@@ -4,11 +4,13 @@ Reference: nvblox's incremental GPU ESDF integrator — wavefront propagation
 of squared voxel distances with parent-direction tracking, 2D or 3D mode
 (SURVEY.md §2.1 "ESDF integrator"; params at mapper_initialization.cpp:360-372).
 
-TPU-native design (SURVEY.md §7 hard part (b)): instead of a dynamic GPU
-wavefront queue, ESDF is computed by **site propagation** — every voxel
-stores the global voxel coordinate of its (current) nearest surface site,
-and iterated block-local 26-neighbor relaxation sweeps + halo exchange move
-site candidates outward:
+NOTE (round 2): the production ESDF is the exact dense banded EDT in
+ops/esdf_dense.py. This module keeps the site extraction helpers (used by
+both paths) and the XLA relaxation sweep used by the host debugging
+backend (mapper/mapper.py). Sweep design: every voxel stores the global
+voxel coordinate of its (current) nearest surface site, and iterated
+block-local 26-neighbor relaxation sweeps + halo exchange move site
+candidates outward:
 
     outer loop (host, early-exit on convergence):
       gather +-1 halos of (site, has_site) per block   [N,10,10,10]
@@ -172,136 +174,6 @@ def esdf_sweep_pass(site_coord, sq_dist, neighbor_slots, slots,
     site_coord = site_coord.at[slots].set(new_site, mode="drop")
     sq_dist = sq_dist.at[slots].set(new_sq, mode="drop")
     return site_coord, sq_dist, changed
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_outer", "inner_iters", "max_sq",
-                                    "interpret", "warm"),
-                   donate_argnums=(0,))
-def run_esdf_sweeps_pallas(site_pool, is_site, neighbor_slots, slots,
-                           block_indices, block_indices_all, *,
-                           n_outer: int, inner_iters: int, max_sq: float,
-                           interpret: bool = False, warm: bool = False):
-    """Fixed-count ESDF sweeps using the Pallas VMEM relaxation kernel.
-
-    site_pool: f32[cap, 512, 3] (donated). Initialization happens inside:
-    site voxels get their own coords, others the SENTINEL (so no separate
-    validity/INF channel is needed). Returns (site_pool, sq_dist) with
-    sq_dist = ||voxel - site||^2 (INF_SQ where unresolved).
-
-    `warm=True` keeps the previous frame's site assignments as the starting
-    point instead of re-seeding from scratch: new sites are added, voxels
-    whose own site status was revoked are invalidated, and a small
-    `n_outer` suffices to absorb incremental changes. References to
-    *remote* sites that have since vanished persist until the next cold
-    update (bounded staleness — the caller interleaves periodic full
-    updates, mirroring the reference's lazily-consistent incremental ESDF).
-    """
-    from isaac_ros_nvblox_tpu.ops.esdf_pallas import (SENTINEL,
-                                                      relax_blocks_pallas)
-    from isaac_ros_nvblox_tpu.ops.halo import gather_halo_sliced as gather_halo
-
-    cap = site_pool.shape[0]
-    offs = _local_offsets_f32()  # [512, 3]
-    own = (block_indices_all.astype(jnp.float32)[:, None, :] * B + offs[None])
-    if warm:
-        self_stale = jnp.all(jnp.abs(site_pool - own) < 0.25, axis=-1) \
-            & (~is_site)
-        site_pool = jnp.where(is_site[..., None], own,
-                              jnp.where(self_stale[..., None], SENTINEL,
-                                        site_pool))
-    else:
-        site_pool = jnp.where(is_site[..., None], own, SENTINEL)
-
-    N = slots.shape[0]
-    origins = (block_indices.astype(jnp.float32) * B)
-
-    def outer(_, site_pool):
-        grid = site_pool.reshape(cap, B, B, B, 3)
-        pad = gather_halo(grid, neighbor_slots, lo=1, hi=1, fill=SENTINEL)
-        flat = pad.reshape(N, 1000, 3)
-        flat = jnp.pad(flat, ((0, 0), (0, 24), (0, 0)),
-                       constant_values=SENTINEL)  # lane-pad 1000 -> 1024
-        sx, sy, sz = flat[..., 0], flat[..., 1], flat[..., 2]
-        sx, sy, sz = relax_blocks_pallas(
-            origins, sx, sy, sz, inner_iters=inner_iters, max_sq=max_sq,
-            interpret=interpret)
-        new_pad = jnp.stack([sx, sy, sz], axis=-1)[:, :1000] \
-            .reshape(N, 10, 10, 10, 3)
-        interior = new_pad[:, 1:-1, 1:-1, 1:-1].reshape(N, B ** 3, 3)
-        return site_pool.at[slots].set(interior, mode="drop")
-
-    site_pool = jax.lax.fori_loop(0, n_outer, outer, site_pool)
-
-    own_all = own
-    diff = own_all - site_pool
-    sq = jnp.sum(diff * diff, axis=-1)
-    sq = jnp.where(jnp.any(site_pool >= SENTINEL * 0.5, axis=-1), INF_SQ,
-                   jnp.minimum(sq, INF_SQ))
-    sq = jnp.where(is_site, 0.0, sq)
-    return site_pool, sq
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_outer", "inner_iters", "max_sq",
-                                    "interpret", "warm"),
-                   donate_argnums=(0,))
-def run_esdf_sweeps_packed(packed_pool, is_site, neighbor_slots, slots,
-                           block_indices, *, n_outer: int, inner_iters: int,
-                           max_sq: float, interpret: bool = False,
-                           warm: bool = False):
-    """Packed-site ESDF sweeps: i32[cap, 512] pool (one int per voxel).
-
-    Same semantics as run_esdf_sweeps_pallas but with block-relative sites
-    packed one byte per axis — 3x less HBM traffic on the halo/scatter path
-    (the dominant cost of an update). Returns (packed_pool, sq_dist).
-    """
-    from isaac_ros_nvblox_tpu.ops.esdf_pallas import (INVALID_PACKED,
-                                                      relax_blocks_packed)
-    from isaac_ros_nvblox_tpu.ops.halo import gather_halo_sliced
-
-    cap = packed_pool.shape[0]
-    offs = jnp.asarray(_local_offsets_np().astype(np.int32))  # [512, 3]
-    pack_own = ((offs[:, 0] + 128) | ((offs[:, 1] + 128) << 8)
-                | ((offs[:, 2] + 128) << 16))[None, :]        # [1, 512]
-    if warm:
-        self_stale = (packed_pool == pack_own) & (~is_site)
-        packed_pool = jnp.where(is_site, pack_own,
-                                jnp.where(self_stale, INVALID_PACKED,
-                                          packed_pool))
-    else:
-        packed_pool = jnp.where(is_site, pack_own, INVALID_PACKED)
-
-    N = slots.shape[0]
-
-    def outer(_, packed_pool):
-        grid = packed_pool.reshape(cap, B, B, B)
-        pad = gather_halo_sliced(grid, neighbor_slots, lo=1, hi=1,
-                                 fill=INVALID_PACKED)
-        flat = pad.reshape(N, 1000)
-        flat = jnp.pad(flat, ((0, 0), (0, 24)),
-                       constant_values=INVALID_PACKED)
-        flat = relax_blocks_packed(flat, inner_iters=inner_iters,
-                                   max_sq=max_sq, interpret=interpret)
-        interior = flat[:, :1000].reshape(N, 10, 10, 10)[
-            :, 1:-1, 1:-1, 1:-1].reshape(N, B ** 3)
-        return packed_pool.at[slots].set(interior, mode="drop")
-
-    packed_pool = jax.lax.fori_loop(0, n_outer, outer, packed_pool)
-
-    # Finalize squared distances (block-relative, exact integer coords).
-    valid = packed_pool >= 0
-    sx = ((packed_pool & 255) - 128).astype(jnp.float32)
-    sy = (((packed_pool >> 8) & 255) - 128).astype(jnp.float32)
-    sz = (((packed_pool >> 16) & 255) - 128).astype(jnp.float32)
-    offs_f = _local_offsets_f32()  # [512, 3]
-    dx = sx - offs_f[None, :, 0]
-    dy = sy - offs_f[None, :, 1]
-    dz = sz - offs_f[None, :, 2]
-    sq = dx * dx + dy * dy + dz * dz
-    sq = jnp.where(valid, jnp.minimum(sq, INF_SQ), INF_SQ)
-    sq = jnp.where(is_site, 0.0, sq)
-    return packed_pool, sq
 
 
 def update_esdf(pool, table, *, voxel_size_m: float,
