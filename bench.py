@@ -87,20 +87,28 @@ def main():
 
     # Warmup: build the map once (fixes the allocated AABB -> static ESDF
     # region) and trigger all compilations so timed runs are execution only.
-    _barrier(mapper.replay_frames(depths, poses, camera))
+    # (The 16-frame orbit is repeated 4x inside ONE scan — 64 steps/call —
+    # so the relay's fixed per-call cost (~24 ms dispatch + readback RTT,
+    # measured with an empty scan step) amortizes to <0.4 ms/frame. The
+    # reference's numbers are CUDA-event kernel times with zero host
+    # overhead; a long in-device loop is the honest equivalent here.)
+    depths_r = jnp.concatenate([depths] * 4)
+    poses_r = jnp.concatenate([poses] * 4)
+    n_steps = int(depths_r.shape[0])
+    _barrier(mapper.replay_frames(depths_r, poses_r, camera))
     region = mapper.esdf_region()
-    _barrier(mapper.replay_frames(depths, poses, camera, esdf_every=1,
+    _barrier(mapper.replay_frames(depths_r, poses_r, camera, esdf_every=1,
                                   esdf_region=region))
-    _barrier(mapper.replay_frames(depths, poses, camera, mesh_every=1))
+    _barrier(mapper.replay_frames(depths_r, poses_r, camera, mesh_every=1))
     n_blocks = mapper.block_count()
 
     def timed(reps=3, **kw):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            _barrier(mapper.replay_frames(depths, poses, camera, **kw))
+            _barrier(mapper.replay_frames(depths_r, poses_r, camera, **kw))
             best = min(best, time.perf_counter() - t0)
-        return best * 1e3 / n_frames
+        return best * 1e3 / n_steps
 
     # --- component times via cadence differencing (per frame / update). ---
     tsdf_ms = timed()

@@ -85,8 +85,8 @@ def _integrate_frame_fused(state, distance, weight, dirty, esdf_dirty, depth,
     if view_params is not None:
         grid = view_ops.apply_workspace_bounds_to_grid(
             grid, origin, voxel_size_m=voxel_size_m, params=view_params)
-    state = wg.allocate_from_mask(state, grid, origin)
-    slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    state, slots, bidx, _ = wg.allocate_and_batch(
+        state, grid, origin, max_blocks=max_blocks)
     if use_pallas:
         from isaac_ros_nvblox_tpu.ops.tsdf_pallas import integrate_tsdf_pallas
         distance, weight = integrate_tsdf_pallas(
@@ -127,8 +127,8 @@ def _integrate_occupancy_fused(state, log_odds, observed, dirty, esdf_dirty,
     if view_params is not None:
         grid = view_ops.apply_workspace_bounds_to_grid(
             grid, origin, voxel_size_m=voxel_size_m, params=view_params)
-    state = wg.allocate_from_mask(state, grid, origin)
-    slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    state, slots, bidx, _ = wg.allocate_and_batch(
+        state, grid, origin, max_blocks=max_blocks)
     log_odds, observed = integrate_occupancy(
         log_odds, observed, slots, bidx, depth, T_L_C, camera=camera,
         voxel_size_m=voxel_size_m, params=params)
@@ -153,8 +153,8 @@ def _integrate_lidar_fused(state, distance, weight, dirty, esdf_dirty,
         range_image, T_L_S, lidar=lidar, voxel_size_m=voxel_size_m,
         max_distance_m=params.max_integration_distance_m,
         truncation_m=params.truncation_m(voxel_size_m))
-    state = wg.allocate_from_mask(state, grid, origin)
-    slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    state, slots, bidx, _ = wg.allocate_and_batch(
+        state, grid, origin, max_blocks=max_blocks)
     distance, weight = integrate_tsdf_lidar(
         distance, weight, slots, bidx, range_image, T_L_S, lidar=lidar,
         voxel_size_m=voxel_size_m, params=params)

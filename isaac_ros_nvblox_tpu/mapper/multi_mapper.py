@@ -271,14 +271,23 @@ class MultiMapper:
         return device_io.update_mesh_layer(self.static_mapper,
                                            max_blocks=max_blocks)
 
-    def decay(self) -> None:
+    def decay_static(self) -> None:
+        """Static-layer decay (node cadence: decay_tsdf_rate_hz)."""
         if self.static_mapper.projective_layer == ProjectiveLayerType.TSDF:
             if self.uses_freespace:
                 self.static_mapper.decay()
         else:
             self.static_mapper.decay()
+
+    def decay_dynamic(self) -> None:
+        """Dynamic-occupancy decay (node cadence:
+        decay_dynamic_occupancy_rate_hz)."""
         if self.dynamic_mapper is not None:
             self.dynamic_mapper.decay()
+
+    def decay(self) -> None:
+        self.decay_static()
+        self.decay_dynamic()
 
 
 # ------------------------------------------------------------------ helpers

@@ -105,17 +105,19 @@ def _pass_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
         mask = ls < (8 - b)
         c_ref[b - 1, : Sp - 1] = jnp.where(mask, r_b[: Sp - 1], r_pb[1:Sp])
 
-    acc = x[Hb:Hb + Sb] + np.float32(0.0)
-    for k in range(-band, band + 1):
-        if k == 0:
-            continue
+    def cand(k):
         b = k % 8                      # python mod: in [0, 8)
         a = (k - b) // 8               # floor
         if b == 0:
-            cand = in_ref[Hb + a:Hb + a + Sb]
-        else:
-            cand = c_ref[b - 1, Hb + a:Hb + a + Sb]
-        acc = jnp.minimum(acc, cand + np.float32(k * k))
+            return in_ref[Hb + a:Hb + a + Sb]
+        return c_ref[b - 1, Hb + a:Hb + a + Sb]
+
+    # Symmetric pairing: +k and -k share the weight k^2, so min them before
+    # the add — 3 VPU ops per pair instead of 4.
+    acc = x[Hb:Hb + Sb] + np.float32(0.0)
+    for k in range(1, band + 1):
+        pair = jnp.minimum(cand(k), cand(-k))
+        acc = jnp.minimum(acc, pair + np.float32(k * k))
     out_ref[:] = acc
 
 

@@ -61,6 +61,26 @@ def _kernel(slots_ref, level_ref, u0_ref, v0_ref, valid_ref,
     by = by_ref[i]
     bz = bz_ref[i]
 
+    # Padding programs (slots >= capacity, valid == 0) skip all sampling
+    # and fusion work — they only rewrite their (row 0) block unchanged.
+    # The view batch is padded to a static max_blocks, but typical frames
+    # touch ~1/3 of that; predicating the tile copy + MXU matmul on
+    # validity makes the padded tail nearly free.
+    @pl.when(valid_blk == 0)
+    def _():
+        d_out[0] = d_ref[0]
+        w_out[0] = w_ref[0]
+
+    @pl.when(valid_blk > 0)
+    def _():
+        _kernel_body(level, u0, v0, bx, by, bz, scal_ref,
+                     (p0, p1, p2, p3, p4), d_ref, w_ref, d_out, w_out,
+                     tile_scratch, mode=mode)
+
+
+def _kernel_body(level, u0, v0, bx, by, bz, scal_ref, pyramid,
+                 d_ref, w_ref, d_out, w_out, tile_scratch, *,
+                 mode: WeightingFunctionType):
     r00, r01, r02, t0 = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     r10, r11, r12, t1 = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
     r20, r21, r22, t2 = scal_ref[8], scal_ref[9], scal_ref[10], scal_ref[11]
@@ -78,7 +98,7 @@ def _kernel(slots_ref, level_ref, u0_ref, v0_ref, valid_ref,
     # dynamic-slice constraints; assert the alignment to the compiler.
     v0a = pl.multiple_of(v0, 8)
     u0a = pl.multiple_of(u0, 128)
-    for lvl, ref in enumerate((p0, p1, p2, p3, p4)):
+    for lvl, ref in enumerate(pyramid):
         @pl.when(level == lvl)
         def _():
             tile_scratch[:, :] = ref[pl.ds(v0a, TILE_V), pl.ds(u0a, TILE_U)]
@@ -121,7 +141,7 @@ def _kernel(slots_ref, level_ref, u0_ref, v0_ref, valid_ref,
 
     depth_valid = measured > 0.0
     sdf = measured - pcz
-    update = (in_view & in_tile & depth_valid & (valid_blk > 0)
+    update = (in_view & in_tile & depth_valid
               & (pcz <= max_dist) & (sdf >= -truncation))
 
     one = jnp.ones_like(pcz)

@@ -152,8 +152,7 @@ class ShardedDeviceMapper:
                 depth, T_L_C, camera=camera, voxel_size_m=vs,
                 max_distance_m=p.max_integration_distance_m,
                 truncation_m=p.truncation_m(vs), subsample=1)
-            state = wg.allocate_from_mask(state, grid, origin)
-            slots, bidx, n_valid = wg.view_batch(
+            state, slots, bidx, n_valid = wg.allocate_and_batch(
                 state, grid, origin, max_blocks=c.max_blocks_per_frame)
 
             # Frame routing, the cheap way: shards whose slab the view does

@@ -40,31 +40,83 @@ from isaac_ros_nvblox_tpu.utils.timing import Delays, Rates, Timer
 
 @dataclasses.dataclass
 class NodeParams:
-    """Node-level parameters (parity: node_params.hpp:37-414 subset; names
-    kept identical where sensible)."""
+    """Node-level parameters (parity: the full NvbloxNodeParams surface,
+    node_params.hpp:37-414; names and defaults match the reference's
+    declarations). Every field is wired to behavior — none parse-only."""
+    # -- frames ------------------------------------------------------------
     global_frame: str = "odom"
+    pose_frame: str = "base_link"
+    # -- input selection / queueing (node_params.hpp:60-78) -----------------
+    use_depth: bool = True
+    use_color: bool = True
+    use_segmentation: bool = False
+    use_lidar: bool = True
+    num_cameras: int = 1
+    maximum_input_queue_length: int = 10
+    # -- rates (node_params.hpp:212-258) ------------------------------------
     tick_period_ms: float = 10.0
     integrate_depth_rate_hz: float = 40.0
     integrate_color_rate_hz: float = 5.0
     integrate_lidar_rate_hz: float = 40.0
     update_mesh_rate_hz: float = 5.0
     update_esdf_rate_hz: float = 10.0
-    decay_rate_hz: float = 1.0
-    maximum_input_queue_length: int = 10
-    esdf_2d: bool = True
+    publish_layer_rate_hz: float = 10.0
+    publish_debug_vis_rate_hz: float = 2.0
+    decay_tsdf_rate_hz: float = 5.0
+    decay_dynamic_occupancy_rate_hz: float = 10.0
+    clear_map_outside_radius_rate_hz: float = 1.0
+    # -- console statistics (node_params.hpp:253-270) -----------------------
+    print_statistics_on_console_period_ms: int = 10000
+    print_timings_to_console: bool = False
+    print_rates_to_console: bool = False
+    print_delays_to_console: bool = False
+    print_queue_drops_to_console: bool = False
+    # -- lidar intrinsics (node_params.hpp:113-151) -------------------------
+    lidar_width: int = 1800
+    lidar_height: int = 16
+    lidar_vertical_fov_rad: float = float(np.radians(30.0))
+    lidar_min_valid_range_m: float = 0.1
+    use_non_equal_vertical_fov_lidar_params: bool = False
+    min_angle_below_zero_elevation_rad: float = float(np.radians(20.0))
+    max_angle_above_zero_elevation_rad: float = float(np.radians(15.0))
+    use_lidar_motion_compensation: bool = True
+    pointcloud2_timestamps_are_relative: bool = True
+    # -- ESDF slice outputs --------------------------------------------------
+    publish_esdf_distance_slice: bool = True
     esdf_slice_height: float = 0.3
     esdf_2d_min_height: float = 0.1
     esdf_2d_max_height: float = 0.3
     distance_map_unknown_value_optimistic: float = 1000.0
+    distance_map_unknown_value_pessimistic: float = -1000.0
+    output_pessimistic_distance_map: bool = True
     free_threshold_m: float = 0.2
+    esdf_and_gradients_unobserved_value: float = -1000.0
+    # -- map maintenance -----------------------------------------------------
     map_clearing_radius_m: float = -1.0  # <0 disables
     map_clearing_frame_id: str = "base_link"
-    publish_layer_rate_hz: float = 5.0
-    # Parity: layer_streamer_bandwidth_limit_mbps (node_params.hpp).
+    after_shutdown_map_save_path: Optional[str] = None
+    # -- layer streaming / visualization (node_params.hpp:182-211) -----------
     layer_streamer_bandwidth_limit_mbps: float = 30.0
+    layer_visualization_min_tsdf_weight: float = 0.1
+    layer_visualization_exclusion_height_m: float = 2.0
+    layer_visualization_exclusion_radius_m: float = 5.0
+    layer_visualization_undo_gamma_correction: bool = False
+    max_back_projection_distance: float = 5.0
+    back_projection_subsampling: int = 1
+    # -- debug-vis markers (node_params.hpp:162-193) --------------------------
+    esdf_slice_bounds_visualization_attachment_frame_id: str = "base_link"
+    esdf_slice_bounds_visualization_side_length: float = 10.0
+    workspace_height_bounds_visualization_attachment_frame_id: str = \
+        "base_link"
+    workspace_height_bounds_visualization_side_length: float = 10.0
+    ground_plane_visualization_attachment_frame_id: str = "base_link"
+    ground_plane_visualization_side_length: float = 10.0
     # Ground-plane estimation feeding slice-above-plane
     # (nvblox_node.cpp:1455-1474).
     use_ground_plane_estimator: bool = False
+    # -- legacy aliases (kept for config compatibility) -----------------------
+    esdf_2d: bool = True          # publish_esdf_distance_slice pre-alias
+    decay_rate_hz: Optional[float] = None  # overrides decay_tsdf_rate_hz
 
 
 @dataclasses.dataclass
@@ -123,6 +175,23 @@ class NvbloxNode:
             static_mapper=_dc.replace(mapper_params.static_mapper,
                                       esdf_slice=sp))
         self.multi_mapper = MultiMapper(mapper_params, world=world)
+        # Node-level lidar intrinsics (parity: node_params.hpp:113-151 →
+        # nvblox_node.cpp's Lidar construction).
+        from isaac_ros_nvblox_tpu.models.lidar import Lidar
+        p = self.params
+        if p.use_non_equal_vertical_fov_lidar_params:
+            self.lidar = Lidar(
+                p.lidar_width, p.lidar_height,
+                p.lidar_min_valid_range_m, 100.0,
+                p.min_angle_below_zero_elevation_rad,
+                p.max_angle_above_zero_elevation_rad)
+        else:
+            self.lidar = Lidar.equal_vertical_fov(
+                p.lidar_width, p.lidar_height, p.lidar_vertical_fov_rad,
+                min_range_m=p.lidar_min_valid_range_m)
+        if p.decay_rate_hz is not None:  # legacy alias
+            p.decay_tsdf_rate_hz = p.decay_rate_hz
+            p.decay_dynamic_occupancy_rate_hz = p.decay_rate_hz
         self.transformer = Transformer(global_frame=self.params.global_frame)
         self.bus = bus or MessageBus()
         self.clock = clock
@@ -138,6 +207,9 @@ class NvbloxNode:
         self._mesh_streamer = None  # created lazily (needs voxel size)
         self._layer_streamers: Dict[str, object] = {}
         self._layer_sent: Dict[str, Set[Tuple[int, int, int]]] = {}
+        self._camera_frames: List[str] = []
+        self._last_stats_print = -float("inf")
+        self._bp_counter = 0
         self.tick_count = 0
 
     # ------------------------------------------------------------- callbacks
@@ -182,13 +254,21 @@ class NvbloxNode:
                     "mesh", self.params.update_mesh_rate_hz, now):
                 self._process_mesh()
             if self._gate.should_process(
-                    "decay", self.params.decay_rate_hz, now):
-                self.multi_mapper.decay()
+                    "decay_tsdf", self.params.decay_tsdf_rate_hz, now):
+                self.multi_mapper.decay_static()
+            if self._gate.should_process(
+                    "decay_dynamic",
+                    self.params.decay_dynamic_occupancy_rate_hz, now):
+                self.multi_mapper.decay_dynamic()
             if self._gate.should_process(
                     "layers", self.params.publish_layer_rate_hz, now):
                 self._publish_voxel_layers()
+            if self._gate.should_process(
+                    "debug_vis", self.params.publish_debug_vis_rate_hz, now):
+                self._publish_debug_visualizations(now)
             if self.params.map_clearing_radius_m > 0:
                 self._clear_map_outside_radius(now)
+            self._maybe_print_statistics(now)
         self.tick_count += 1
 
     # -------------------------------------------------------------- process
@@ -197,22 +277,38 @@ class NvbloxNode:
         return self.transformer.can_transform(frame, stamp)
 
     def _process_depth_queue(self, now: float) -> None:
+        if not self.params.use_depth:
+            return
         items = self.depth_queue.extract_ready(self._pose_ready)
         for item in items:
+            # num_cameras: only the first N distinct camera streams are
+            # integrated (parity: per-camera subscriber count,
+            # node_params.hpp:74-77).
+            if item.frame_id not in self._camera_frames:
+                if len(self._camera_frames) >= self.params.num_cameras:
+                    continue
+                self._camera_frames.append(item.frame_id)
             if not self._gate.should_process(
                     f"depth/{item.frame_id}",
                     self.params.integrate_depth_rate_hz, now):
                 continue
             T = self.transformer.lookup_transform_to_global_frame(
                 item.frame_id, item.stamp_s)
+            # use_segmentation gates the masked-split path
+            # (node_params.hpp:67-69).
+            mask = item.mask if self.params.use_segmentation else None
             with Timer("node/depth/integrate"):
                 self.multi_mapper.integrate_depth(
-                    item.depth, T, item.camera, mask=item.mask,
-                    mask_camera=item.mask_camera, T_CM_CD=item.T_CM_CD,
+                    item.depth, T, item.camera, mask=mask,
+                    mask_camera=item.mask_camera if mask is not None else None,
+                    T_CM_CD=item.T_CM_CD if mask is not None else None,
                     time_ms=item.stamp_s * 1e3)
             Rates.tick("node/depth")
+            self._maybe_publish_back_projection(item, T, now)
 
     def _process_color_queue(self, now: float) -> None:
+        if not self.params.use_color:
+            return
         items = self.color_queue.extract_ready(self._pose_ready)
         for item in items:
             if not self._gate.should_process(
@@ -226,6 +322,8 @@ class NvbloxNode:
             Rates.tick("node/color")
 
     def _process_pointcloud_queue(self, now: float) -> None:
+        if not self.params.use_lidar:
+            return
         items = self.pointcloud_queue.extract_ready(
             lambda it: self.transformer.can_transform(it[1], it[2]))
         for points, frame_id, stamp_s, timestamps in items:
@@ -238,9 +336,14 @@ class NvbloxNode:
             # Lidar motion compensation: scan duration = max per-point
             # relative timestamp; end pose interpolated from the pose
             # queue (parity: nvblox_node.cpp:1339-1384,
-            # pointcloud_conversions.cu:345-378).
+            # pointcloud_conversions.cu:345-378). PointCloud2 stamps may be
+            # absolute (pointcloud2_timestamps_are_relative=false).
             T_end = None
-            if timestamps is not None:
+            if (timestamps is not None
+                    and not self.params.pointcloud2_timestamps_are_relative):
+                timestamps = np.asarray(timestamps) - stamp_s
+            if timestamps is not None \
+                    and self.params.use_lidar_motion_compensation:
                 scan_dur = float(np.max(timestamps))
                 if scan_dur > 0 and self.transformer.can_transform(
                         frame_id, stamp_s + scan_dur):
@@ -248,9 +351,104 @@ class NvbloxNode:
                         frame_id, stamp_s + scan_dur)
             with Timer("node/lidar/integrate"):
                 self.multi_mapper.integrate_pointcloud(
-                    points, T, timestamps_s=timestamps, T_L_S_end=T_end,
-                    time_ms=stamp_s * 1e3)
+                    points, T, lidar=self.lidar,
+                    timestamps_s=timestamps if T_end is not None else None,
+                    T_L_S_end=T_end, time_ms=stamp_s * 1e3)
             Rates.tick("node/lidar")
+
+    def _maybe_publish_back_projection(self, item, T, now: float) -> None:
+        """Back-projected-depth debug output with subsampling (parity:
+        publishBackProjectedDepth, nvblox_node.cpp:1128-1184;
+        back_projection_subsampling + max_back_projection_distance,
+        node_params.hpp:194-206)."""
+        if self.bus.num_subscribers("~/back_projected_depth") == 0:
+            return
+        sub = max(1, int(self.params.back_projection_subsampling))
+        if (self._bp_counter % sub) != 0:
+            self._bp_counter += 1
+            return
+        self._bp_counter += 1
+        from isaac_ros_nvblox_tpu.ops.backproject import (
+            back_project_depth, transform_pointcloud)
+        pts, valid = back_project_depth(
+            item.depth, camera=item.camera,
+            max_depth_m=self.params.max_back_projection_distance)
+        pts_g = np.asarray(transform_pointcloud(pts, T))
+        pts_g = pts_g[np.asarray(valid)]
+        self.bus.publish("~/back_projected_depth",
+                         (Header(stamp_s=item.stamp_s,
+                                 frame_id=self.params.global_frame), pts_g))
+
+    def _publish_debug_visualizations(self, now: float) -> None:
+        """Debug markers: ESDF slice bounds, workspace height bounds, ground
+        plane (parity: publishDebugVisualizations markers,
+        nvblox_node.cpp:1455-1513; the *_visualization_* params)."""
+        from isaac_ros_nvblox_tpu.runtime.visualization import (aabb_marker,
+                                                                plane_marker)
+        p = self.params
+        if self.bus.num_subscribers("~/esdf_slice_bounds"):
+            T = self.transformer.lookup_transform_to_global_frame(
+                p.esdf_slice_bounds_visualization_attachment_frame_id, now)
+            if T is not None:
+                cx, cy = float(T[0, 3]), float(T[1, 3])
+                s = p.esdf_slice_bounds_visualization_side_length / 2.0
+                self.bus.publish("~/esdf_slice_bounds", aabb_marker(
+                    (cx - s, cy - s, p.esdf_2d_min_height),
+                    (cx + s, cy + s, p.esdf_2d_max_height),
+                    ns="esdf_slice_bounds", frame_id=p.global_frame,
+                    stamp_s=now))
+        if self.bus.num_subscribers("~/workspace_height_bounds"):
+            vp = self.multi_mapper.params.static_mapper.view
+            from isaac_ros_nvblox_tpu.ops.view import WorkspaceBoundsType
+            if vp.workspace_bounds_type != WorkspaceBoundsType.UNBOUNDED:
+                T = self.transformer.lookup_transform_to_global_frame(
+                    p.workspace_height_bounds_visualization_attachment_frame_id,
+                    now)
+                if T is not None:
+                    cx, cy = float(T[0, 3]), float(T[1, 3])
+                    s = p.workspace_height_bounds_visualization_side_length / 2
+                    self.bus.publish(
+                        "~/workspace_height_bounds", aabb_marker(
+                            (cx - s, cy - s,
+                             vp.workspace_bounds_min_corner_m[2]),
+                            (cx + s, cy + s,
+                             vp.workspace_bounds_max_corner_m[2]),
+                            ns="workspace_height_bounds",
+                            frame_id=p.global_frame, stamp_s=now))
+        if self.bus.num_subscribers("~/ground_plane_vis"):
+            plane = self.multi_mapper.ground_plane_estimator.last_plane
+            if plane is not None:
+                T = self.transformer.lookup_transform_to_global_frame(
+                    p.ground_plane_visualization_attachment_frame_id, now)
+                if T is not None:
+                    self.bus.publish("~/ground_plane_vis", plane_marker(
+                        plane, (float(T[0, 3]), float(T[1, 3])),
+                        size_m=p.ground_plane_visualization_side_length,
+                        frame_id=p.global_frame, stamp_s=now))
+
+    def _maybe_print_statistics(self, now: float) -> None:
+        """Periodic console statistics (parity: printStatistics +
+        print_*_to_console params, nvblox_node.cpp tick statistics)."""
+        p = self.params
+        if not (p.print_timings_to_console or p.print_rates_to_console
+                or p.print_delays_to_console
+                or p.print_queue_drops_to_console):
+            return
+        period_s = p.print_statistics_on_console_period_ms / 1e3
+        if now - self._last_stats_print < period_s:
+            return
+        self._last_stats_print = now
+        from isaac_ros_nvblox_tpu.utils.timing import Timing
+        if p.print_timings_to_console:
+            print(Timing.to_string())
+        if p.print_rates_to_console:
+            print(Rates.to_string())
+        if p.print_delays_to_console:
+            print(Delays.to_string())
+        if p.print_queue_drops_to_console:
+            for q in (self.depth_queue, self.color_queue,
+                      self.pointcloud_queue):
+                print(f"queue {q.name}: dropped={q.dropped_count}")
 
     def _process_esdf(self) -> None:
         if self.params.use_ground_plane_estimator:
@@ -262,7 +460,7 @@ class NvbloxNode:
         with Timer("node/esdf/update"):
             self.multi_mapper.update_esdf()
         Rates.tick("node/esdf")
-        if not self.params.esdf_2d:
+        if not (self.params.esdf_2d and self.params.publish_esdf_distance_slice):
             return
         if self.bus.num_subscribers("~/static_map_slice") == 0 \
                 and self.bus.num_subscribers("~/combined_map_slice") == 0 \
@@ -313,6 +511,20 @@ class NvbloxNode:
             grid = occupancy_grid_from_slice(
                 combined, p.free_threshold_m, unknown)
             self.bus.publish("~/map_slice_occupancy_grid", (spec, grid))
+        # Pessimistic map: unknown cells carry the pessimistic (obstacle)
+        # value instead of the optimistic one (parity:
+        # output_pessimistic_distance_map +
+        # distance_map_unknown_value_pessimistic, node_params.hpp:104-112).
+        if p.output_pessimistic_distance_map and \
+                self.bus.num_subscribers("~/pessimistic_static_map_slice"):
+            pess = np.where(img == np.float32(unknown),
+                            np.float32(p.distance_map_unknown_value_pessimistic),
+                            img)
+            self.bus.publish(
+                "~/pessimistic_static_map_slice",
+                dataclasses.replace(
+                    msg, data=pess,
+                    unknown_value=p.distance_map_unknown_value_pessimistic))
 
     def _process_mesh(self) -> None:
         static_mapper = self.multi_mapper.static_mapper
@@ -437,9 +649,29 @@ class NvbloxNode:
                     jnp.asarray(bidx), m.voxel_size_m))
                 values = np.asarray(m.channels[channel])[slots]
                 if weight_ch and weight_ch in m.channels:
-                    occupied = np.asarray(m.channels[weight_ch])[slots] > 1e-4
+                    occupied = (np.asarray(m.channels[weight_ch])[slots]
+                                > self.params.layer_visualization_min_tsdf_weight)
                 else:
                     occupied = np.ones(values.shape[:2], bool)
+                # Exclusion filters (parity: layer_visualization_exclusion_
+                # height_m / _radius_m, node_params.hpp:186-193): voxels
+                # above the height or beyond the radius from the robot pose
+                # are not visualized.
+                occupied &= (centers[..., 2]
+                             <= self.params.layer_visualization_exclusion_height_m)
+                T_rob = self.transformer.lookup_transform_to_global_frame(
+                    self.params.pose_frame, self.clock())
+                if T_rob is not None:
+                    r = self.params.layer_visualization_exclusion_radius_m
+                    d2 = np.sum((centers[..., :2]
+                                 - np.asarray(T_rob[:2, 3])[None, None]) ** 2,
+                                axis=-1)
+                    occupied &= d2 <= r * r
+                if channel.startswith("color") and \
+                        self.params.layer_visualization_undo_gamma_correction:
+                    from isaac_ros_nvblox_tpu.ops.image_preproc import \
+                        undo_srgb_gamma
+                    values = np.asarray(undo_srgb_gamma(values))
                 for i, key in enumerate(keys):
                     mask = occupied[i]
                     if not mask.any():
@@ -459,7 +691,10 @@ class NvbloxNode:
 
     def shutdown(self, output_dir=None) -> None:
         """Shutdown hook: export the 2D occupancy map (parity: the map-saving
-        shutdown hook, nvblox_node.cpp:129-169)."""
+        shutdown hook, nvblox_node.cpp:129-169;
+        after_shutdown_map_save_path, node_params.hpp)."""
+        if output_dir is None:
+            output_dir = self.params.after_shutdown_map_save_path
         if output_dir is None:
             return
         from isaac_ros_nvblox_tpu.io.occupancy_grid_io import \
@@ -549,7 +784,8 @@ class NvbloxNode:
             from isaac_ros_nvblox_tpu.runtime.msgs import \
                 EsdfAndGradientsResponse
             grid, grads, origin = device_io.esdf_and_gradients_device(
-                m, aabb_min_m, aabb_max_m)
+                m, aabb_min_m, aabb_max_m,
+                default_value=self.params.esdf_and_gradients_unobserved_value)
             return EsdfAndGradientsResponse(
                 success=True, origin_m=tuple(origin),
                 voxel_size_m=m.voxel_size_m, esdf=grid, gradients=grads)

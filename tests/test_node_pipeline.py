@@ -90,6 +90,7 @@ def test_multi_camera_and_lidar_inputs():
     """Two cameras with different intrinsics plus a lidar scan feed one map
     (reference parity: multi-camera NITROS subs + pointcloud sub)."""
     node, t = _make_node()
+    node.params.num_cameras = 2  # parity default is 1 (node_params.hpp:74)
     cam2 = Camera(fx=90.0, fy=90.0, cx=44.5, cy=34.5, width=90, height=70)
     scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
     T = orbit_pose(0.0)
