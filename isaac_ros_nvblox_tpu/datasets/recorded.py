@@ -63,20 +63,39 @@ class SequenceRecorder:
 
 
 class RecordedDataLoader(DataLoader):
-    def __init__(self, directory, timestamp_tolerance_s: float = 0.1):
+    """Bag-style replay: the pose ("/tf") stream is fed to the Transformer
+    incrementally, `tf_lead_time_s` ahead of the image stream — not
+    preloaded — matching the reference's RosDataLoader semantics
+    (rosbag_data_loader.cpp:83-150: transforms are read ahead of images by
+    tf_lead_time_s so interpolation brackets each frame stamp)."""
+
+    def __init__(self, directory, timestamp_tolerance_s: float = 0.1,
+                 tf_lead_time_s: float = 0.5):
         self.dir = Path(directory)
         meta = json.loads((self.dir / "meta.json").read_text())
         c = meta["camera"]
         self.camera = Camera(fx=c["fx"], fy=c["fy"], cx=c["cx"], cy=c["cy"],
                              width=c["width"], height=c["height"])
         self.num_frames = meta["num_frames"]
+        self.tf_lead_time_s = tf_lead_time_s
         # Pose stream -> same nearest/interpolating resolution as online.
         self.transformer = Transformer(
             timestamp_tolerance_s=timestamp_tolerance_s)
-        poses = np.load(self.dir / "poses.npy")
-        for t, T in zip(meta["pose_timestamps"], poses):
-            self.transformer.add_pose("camera", float(t), T)
+        self._pose_ts = [float(t) for t in meta["pose_timestamps"]]
+        self._poses = np.load(self.dir / "poses.npy")
+        self._pose_cursor = 0
         self._i = 0
+
+    def _stream_tf_until(self, stamp_s: float) -> None:
+        """Feed the pose stream up to stamp_s + tf_lead_time_s (parity:
+        RosDataLoader::loadNext's update_until = image stamp + lead)."""
+        limit = stamp_s + self.tf_lead_time_s
+        while (self._pose_cursor < len(self._pose_ts)
+               and self._pose_ts[self._pose_cursor] <= limit):
+            self.transformer.add_pose(
+                "camera", self._pose_ts[self._pose_cursor],
+                self._poses[self._pose_cursor])
+            self._pose_cursor += 1
 
     def load_next(self):
         if self._i >= self.num_frames:
@@ -90,6 +109,7 @@ class RecordedDataLoader(DataLoader):
             depth = data["depth"]
             color = data["color"] if "color" in data.files else None
             t = float(data["timestamp_s"])
+        self._stream_tf_until(t)
         T = self.transformer.lookup_transform_to_global_frame("camera", t)
         if T is None:
             # Pose not resolvable at this stamp: bad frame (parity with the

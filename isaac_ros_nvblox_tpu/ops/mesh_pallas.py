@@ -160,11 +160,16 @@ def _make_kernel(with_color: bool, min_weight: float):
         config = jnp.where(cube_ok, config, 0.0)
         config_i = config.astype(jnp.int32)
 
-        iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, V), 0)
-        oh = (iota256 == config_i).astype(jnp.float32)
-
-        table = jnp.dot(tt_ref[:, :], oh,
-                        preferred_element_type=jnp.float32)       # (16,512)
+        # 128-split one-hot: build a half-width one-hot of config mod 128
+        # and pick the table half by the high bit — half the one-hot build
+        # cost (the kernel's largest VPU write) for two cheap MXU dots.
+        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, V), 0)
+        oh = (iota128 == jax.lax.rem(config_i, 128)).astype(jnp.float32)
+        t_lo = jnp.dot(tt_ref[:, :128], oh,
+                       preferred_element_type=jnp.float32)        # (16,512)
+        t_hi = jnp.dot(tt_ref[:, 128:], oh,
+                       preferred_element_type=jnp.float32)
+        table = jnp.where(config_i >= 128, t_hi, t_lo)
         n_tris = table[0:1, :]
         edges = table[1:16, :]
 
@@ -192,34 +197,42 @@ def _make_kernel(with_color: bool, min_weight: float):
         base_y = ly.astype(jnp.float32)
         base_z = lz.astype(jnp.float32)
 
-        iota12 = jax.lax.broadcasted_iota(jnp.int32, (12, V), 0) \
+        # Edge -> slot selection, iterated over the 12 EDGES instead of the
+        # 15 slots: each slot's edge id selects exactly one edge value, so
+        # accumulating equality-masked adds over e is exactly equal to the
+        # per-slot one-hot reduce (one nonzero term per slot) at ~1/3 the
+        # VPU ops ((15,512) elementwise vs (12,512) reduces per slot).
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, (K_SLOTS, V), 0) \
             .astype(jnp.float32)
-        vxs, vys, vzs, crs, cgs, cbs = [], [], [], [], [], []
-        for k in range(K_SLOTS):
-            e_k = edges[k:k + 1, :]
-            ohe = (iota12 == e_k).astype(jnp.float32)
-            valid_k = cube_ok & (jnp.float32(k) < n_tris * 3.0) & (e_k >= 0.0)
-            sent = jnp.float32(SENTINEL)
-
-            def pick(p, base):
-                v = jnp.sum(ohe * p, axis=0, keepdims=True) + base + 0.5
-                return jnp.where(valid_k, v, sent)
-
-            vxs.append(pick(ex, base_x))
-            vys.append(pick(ey, base_y))
-            vzs.append(pick(ez, base_z))
+        valid_s = cube_ok & (slot_i < n_tris * 3.0) & (edges >= 0.0)
+        vx = jnp.zeros((K_SLOTS, V), jnp.float32)
+        vy = jnp.zeros((K_SLOTS, V), jnp.float32)
+        vz = jnp.zeros((K_SLOTS, V), jnp.float32)
+        if with_color:
+            cr = jnp.zeros((K_SLOTS, V), jnp.float32)
+            cg = jnp.zeros((K_SLOTS, V), jnp.float32)
+            cb = jnp.zeros((K_SLOTS, V), jnp.float32)
+        for e in range(12):
+            sel = (edges == jnp.float32(e)).astype(jnp.float32)  # (15, V)
+            vx = vx + sel * ex[e:e + 1]
+            vy = vy + sel * ey[e:e + 1]
+            vz = vz + sel * ez[e:e + 1]
             if with_color:
-                for acc, ec in zip((crs, cgs, cbs), ecs):
-                    c = jnp.sum(ohe * ec, axis=0, keepdims=True)
-                    acc.append(jnp.where(valid_k, c, 0.0))
+                cr = cr + sel * ecs[0][e:e + 1]
+                cg = cg + sel * ecs[1][e:e + 1]
+                cb = cb + sel * ecs[2][e:e + 1]
+        sent = jnp.float32(SENTINEL)
         pad = jnp.full((K_PAD - K_SLOTS, V), SENTINEL, jnp.float32)
         zpad = jnp.zeros((K_PAD - K_SLOTS, V), jnp.float32)
-        for c, comp in enumerate((vxs, vys, vzs)):
-            vout_ref[0, c] = jnp.concatenate(comp + [pad], axis=0) \
+        for c, (comp, base) in enumerate(
+                ((vx, base_x), (vy, base_y), (vz, base_z))):
+            rows = jnp.where(valid_s, comp + base + 0.5, sent)
+            vout_ref[0, c] = jnp.concatenate([rows, pad], axis=0) \
                 .astype(jnp.bfloat16)
         if with_color:
-            for c, comp in enumerate((crs, cgs, cbs)):
-                cout_ref[0, c] = jnp.concatenate(comp + [zpad], axis=0) \
+            for c, comp in enumerate((cr, cg, cb)):
+                rows = jnp.where(valid_s, comp, 0.0)
+                cout_ref[0, c] = jnp.concatenate([rows, zpad], axis=0) \
                     .astype(jnp.bfloat16)
 
     return kernel

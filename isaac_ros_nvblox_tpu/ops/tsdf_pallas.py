@@ -5,22 +5,28 @@ image lookup: XLA lowers it to an element gather (~115 M elem/s on v5e), so
 ~2M samples cost ~20 ms. TPUs have no gather hardware — but they have an
 MXU, and a gather is a one-hot matmul.
 
-Kernel design (one program per voxel block, sequential TPU grid):
-  * the depth image and 4 decimated levels stay VMEM-resident across the
-    whole grid (constant index maps; ~1.6 MB total);
-  * per block, a 32x32 tile containing the block's projected footprint is
-    sliced from the decimation level whose tile covers the footprint
-    (sampling stride 2^level is at most ~half the voxel's own angular
-    footprint, so nothing below the voxel scale is lost);
-  * per-voxel sampling is **separable one-hot**: with OHU[c,v] = (u_v == c)
-    and OHV[r,v] = (v_v == r),
+Kernel design (round 2, v2 — 8 blocks per program):
+  * XLA pre-pass (fused elementwise, no gathers) computes per-voxel
+    tile-space sample coordinates `ut/vt` (-1 = invalid) and camera-frame
+    depth `pcz` for the whole batch, plus per-block tile parameters
+    (decimation level, 128-aligned tile origin);
+  * batch pool rows are gathered once as contiguous ROW gathers
+    (fast on TPU — element gathers are not), the kernel runs on dense
+    (8, 512) blocks, and results scatter back by row;
+  * one program handles EIGHT voxel blocks: all fusion math runs on
+    (8, 512) arrays (full 8x128 vreg utilization — the v1 kernel's
+    (1, 512) ops wasted 7/8 sublanes and its per-program overhead
+    dominated: measured 1.7 of 2.0 ms with sampling disabled);
+  * per block, a 32x256 tile of the decimation level whose cell size
+    covers the block's footprint is sliced into VMEM, and per-voxel
+    sampling is **separable one-hot** on the MXU:
         measured[v] = sum_r OHV[r,v] * (tile @ OHU)[r,v]
-    — one 32x32x512 MXU matmul + a masked sublane reduce. Zero gathers,
-    zero lane reshuffles;
-  * TSDF fusion math runs on the VPU; pool rows are read and written
-    **in place** via scalar-prefetched slot index maps with input/output
-    aliasing — no XLA-side gather/scatter of pool rows. Padding programs
-    rewrite row 0 unchanged (benign: the TPU grid is sequential).
+    — zero gathers, zero lane reshuffles. Invalid/padding blocks skip the
+    tile copy and both matmuls.
+
+Reference behavior: ProjectiveTsdfIntegrator (SURVEY.md §2.1) — per-voxel
+projective SDF fusion with the 6 weighting functions of
+nvblox's WeightingFunction, truncation, max distance/weight.
 """
 
 from __future__ import annotations
@@ -45,103 +51,66 @@ TILE_U = 256       # tile cols: 2 x 128; with u0 = round(uc/128)*128 - 128
                    # (lane-dim slice origins must be 128-aligned on TPU)
 N_LEVELS = 5       # decimation levels 0..4 (footprints up to ~512 px)
 V = 512
+NB = 8             # voxel blocks per program (sublane-dim batching)
 
 
-def _kernel(slots_ref, level_ref, u0_ref, v0_ref, valid_ref,
-            bx_ref, by_ref, bz_ref, scal_ref, p0, p1, p2, p3, p4,
-            d_ref, w_ref, d_out, w_out, tile_scratch, *,
+def _kernel(level_ref, u0_ref, v0_ref, valid_ref, scal_ref,
+            p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref, d_ref, w_ref,
+            d_out, w_out, tile_scratch, meas_scratch, *,
             mode: WeightingFunctionType):
-    """One block: tile slice -> separable one-hot sampling -> fused update."""
+    """Eight blocks: per-block one-hot sampling, vectorized (8,512) fusion."""
     i = pl.program_id(0)
-    level = level_ref[i]
-    u0 = u0_ref[i]
-    v0 = v0_ref[i]
-    valid_blk = valid_ref[i]
-    bx = bx_ref[i]
-    by = by_ref[i]
-    bz = bz_ref[i]
 
-    # Padding programs (slots >= capacity, valid == 0) skip all sampling
-    # and fusion work — they only rewrite their (row 0) block unchanged.
-    # The view batch is padded to a static max_blocks, but typical frames
-    # touch ~1/3 of that; predicating the tile copy + MXU matmul on
-    # validity makes the padded tail nearly free.
-    @pl.when(valid_blk == 0)
-    def _():
-        d_out[0] = d_ref[0]
-        w_out[0] = w_ref[0]
+    truncation = scal_ref[0]
+    max_dist = scal_ref[1]
+    max_weight = scal_ref[2]
+    dropoff_eps = scal_ref[3]
 
-    @pl.when(valid_blk > 0)
-    def _():
-        _kernel_body(level, u0, v0, bx, by, bz, scal_ref,
-                     (p0, p1, p2, p3, p4), d_ref, w_ref, d_out, w_out,
-                     tile_scratch, mode=mode)
+    # --- per-block separable one-hot sampling (MXU) -> meas_scratch rows.
+    for j in range(NB):
+        valid_j = valid_ref[i * NB + j]
 
+        @pl.when(valid_j == 0)
+        def _(j=j):
+            meas_scratch[j:j + 1] = jnp.zeros((1, V), jnp.float32)
 
-def _kernel_body(level, u0, v0, bx, by, bz, scal_ref, pyramid,
-                 d_ref, w_ref, d_out, w_out, tile_scratch, *,
-                 mode: WeightingFunctionType):
-    r00, r01, r02, t0 = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
-    r10, r11, r12, t1 = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
-    r20, r21, r22, t2 = scal_ref[8], scal_ref[9], scal_ref[10], scal_ref[11]
-    fx, fy, cx, cy = scal_ref[12], scal_ref[13], scal_ref[14], scal_ref[15]
-    voxel_size = scal_ref[16]
-    truncation = scal_ref[17]
-    max_dist = scal_ref[18]
-    max_weight = scal_ref[19]
-    dropoff_eps = scal_ref[20]
-    img_w = scal_ref[21]
-    img_h = scal_ref[22]
+        @pl.when(valid_j > 0)
+        def _(j=j):
+            level = level_ref[i * NB + j]
+            u0 = pl.multiple_of(u0_ref[i * NB + j], 128)
+            v0 = pl.multiple_of(v0_ref[i * NB + j], 8)
+            for lvl, ref in enumerate((p0, p1, p2, p3, p4)):
+                @pl.when(level == lvl)
+                def _():
+                    tile_scratch[:, :] = ref[pl.ds(v0, TILE_V),
+                                             pl.ds(u0, TILE_U)]
+            ut = ut_ref[j:j + 1]                               # (1, V)
+            vt = vt_ref[j:j + 1]
+            # Column selection in two stages to halve the one-hot build
+            # (the kernel's dominant VPU cost): a 128-wide one-hot of
+            # ut mod 128 feeds BOTH tile halves through the MXU, and the
+            # high bit of ut picks the half per voxel. Invalid voxels
+            # (ut == -1) produce an all-zero one-hot column.
+            ul = jnp.where(ut >= 0, jax.lax.rem(ut, TILE_U // 2), -1)
+            uh = ut >= TILE_U // 2
+            iota_u = jax.lax.broadcasted_iota(jnp.int32, (TILE_U // 2, V), 0)
+            iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
+            ohu = (iota_u == ul).astype(jnp.float32)       # (TILE_U/2, V)
+            ohv = (iota_v == vt).astype(jnp.float32)       # (TILE_V, V)
+            tmp_l = jnp.dot(tile_scratch[:, :TILE_U // 2], ohu,
+                            preferred_element_type=jnp.float32)
+            tmp_r = jnp.dot(tile_scratch[:, TILE_U // 2:], ohu,
+                            preferred_element_type=jnp.float32)
+            tmp = jnp.where(uh, tmp_r, tmp_l)              # (TILE_V, V)
+            meas_scratch[j:j + 1] = jnp.sum(ohv * tmp, axis=0, keepdims=True)
 
-    # Copy the sampling tile from the selected level (VMEM->VMEM slice).
-    # v0 is 8-aligned (sublanes), u0 is 128-aligned (lanes) — Mosaic
-    # dynamic-slice constraints; assert the alignment to the compiler.
-    v0a = pl.multiple_of(v0, 8)
-    u0a = pl.multiple_of(u0, 128)
-    for lvl, ref in enumerate(pyramid):
-        @pl.when(level == lvl)
-        def _():
-            tile_scratch[:, :] = ref[pl.ds(v0a, TILE_V), pl.ds(u0a, TILE_U)]
-
-    # Voxel centers in the layer frame; lanes laid out (x*64 + y*8 + z).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-    lx = (lane // 64).astype(jnp.float32)
-    ly = ((lane // 8) % 8).astype(jnp.float32)
-    lz = (lane % 8).astype(jnp.float32)
-    wx = (bx.astype(jnp.float32) * 8.0 + lx + 0.5) * voxel_size
-    wy = (by.astype(jnp.float32) * 8.0 + ly + 0.5) * voxel_size
-    wz = (bz.astype(jnp.float32) * 8.0 + lz + 0.5) * voxel_size
-
-    # Camera frame + projection.
-    pcx = r00 * wx + r01 * wy + r02 * wz + t0
-    pcy = r10 * wx + r11 * wy + r12 * wz + t1
-    pcz = r20 * wx + r21 * wy + r22 * wz + t2
-    z_safe = jnp.where(pcz > 1e-6, pcz, 1.0)
-    u = fx * pcx / z_safe + cx
-    v = fy * pcy / z_safe + cy
-    in_view = ((pcz > 1e-6) & (u >= 0.0) & (u <= img_w - 1.0)
-               & (v >= 0.0) & (v <= img_h - 1.0))
-
-    # Tile-space nearest cell.
-    inv_scale = 1.0 / jnp.exp2(level.astype(jnp.float32))
-    ut = jnp.round(u * inv_scale).astype(jnp.int32) - u0   # (1, V)
-    vt = jnp.round(v * inv_scale).astype(jnp.int32) - v0
-    in_tile = (ut >= 0) & (ut < TILE_U) & (vt >= 0) & (vt < TILE_V)
-    ut = jnp.where(in_tile, ut, -1)
-    vt = jnp.where(in_tile, vt, -1)
-
-    # Separable one-hot sampling on the MXU.
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (TILE_U, V), 0)
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-    ohu = (iota_u == ut).astype(jnp.float32)               # (TILE_U, V)
-    ohv = (iota_v == vt).astype(jnp.float32)               # (TILE_V, V)
-    tmp = jnp.dot(tile_scratch[:, :], ohu,
-                  preferred_element_type=jnp.float32)       # (TILE_V, V)
-    measured = jnp.sum(ohv * tmp, axis=0, keepdims=True)    # (1, V)
-
+    # --- vectorized fusion on (8, 512).
+    measured = meas_scratch[:, :]
+    pcz = pcz_ref[:, :]
+    samp_ok = ut_ref[:, :] >= 0     # in view, in tile, valid block
     depth_valid = measured > 0.0
     sdf = measured - pcz
-    update = (in_view & in_tile & depth_valid
+    update = (samp_ok & depth_valid
               & (pcz <= max_dist) & (sdf >= -truncation))
 
     one = jnp.ones_like(pcz)
@@ -164,8 +133,8 @@ def _kernel_body(level, u0, v0, bx, by, bz, scal_ref, pyramid,
         w_new = jnp.minimum(one, 1.0 / jnp.maximum(pcz, 1e-4))
     w_new = jnp.where(update, w_new, 0.0)
 
-    d_old = d_ref[0]   # (1, V)
-    w_old = w_ref[0]
+    d_old = d_ref[:, :]
+    w_old = w_ref[:, :]
     w_sum = w_old + w_new
     d_fused = jnp.where(
         w_sum > 1e-6,
@@ -173,8 +142,8 @@ def _kernel_body(level, u0, v0, bx, by, bz, scal_ref, pyramid,
         / jnp.maximum(w_sum, 1e-6), d_old)
     w_fused = jnp.minimum(w_sum, max_weight)
 
-    d_out[0] = jnp.where(update, d_fused, d_old)
-    w_out[0] = jnp.where(update, w_fused, w_old)
+    d_out[:, :] = jnp.where(update, d_fused, d_old)
+    w_out[:, :] = jnp.where(update, w_fused, w_old)
 
 
 @functools.partial(
@@ -189,6 +158,13 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
     """Drop-in replacement for ops/tsdf.integrate_tsdf on TPU."""
     cap = distance.shape[0]
     N = slots.shape[0]
+    N8 = ((N + NB - 1) // NB) * NB
+    if N8 != N:
+        pad = N8 - N
+        slots = jnp.concatenate([slots, jnp.full((pad,), cap, jnp.int32)])
+        block_indices = jnp.concatenate(
+            [block_indices, jnp.zeros((pad, 3), block_indices.dtype)])
+        N = N8
 
     # Decimated pyramid levels (sampling semantics -> strided views).
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
@@ -216,8 +192,8 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
     h_l = dims_h[level]
     # Aligned tile origins (Mosaic dynamic-slice constraints): v0 8-aligned
     # with the footprint centered in 32 rows (level guarantees fp <= 16 px,
-    # slack >= 8 px either side); u0 128-aligned with 384 columns, which
-    # covers [uc-128, uc+128) regardless of alignment.
+    # slack >= 8 px either side); u0 128-aligned with the footprint center
+    # in the middle half of 256 columns.
     v0 = jnp.clip((vc * scale).astype(jnp.int32) - TILE_V // 2, 0,
                   h_l - TILE_V)
     v0 = (v0 // 8) * 8
@@ -226,18 +202,37 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
     valid = (slots < cap).astype(jnp.int32)
     safe_slots = jnp.where(slots < cap, slots, 0)
 
-    prefetch = [safe_slots.astype(jnp.int32), level, u0, v0, valid,
-                block_indices[:, 0].astype(jnp.int32),
-                block_indices[:, 1].astype(jnp.int32),
-                block_indices[:, 2].astype(jnp.int32)]
+    # Per-voxel projection (fused XLA elementwise over [N, 512]) -> the
+    # kernel consumes tile-space integer coords and camera depth only.
+    lane = jnp.arange(V, dtype=jnp.int32)[None, :]
+    lx = (lane // 64).astype(jnp.float32)
+    ly = ((lane // 8) % 8).astype(jnp.float32)
+    lz = (lane % 8).astype(jnp.float32)
+    bi = block_indices.astype(jnp.float32)
+    wx = (bi[:, 0:1] * 8.0 + lx + 0.5) * voxel_size_m
+    wy = (bi[:, 1:2] * 8.0 + ly + 0.5) * voxel_size_m
+    wz = (bi[:, 2:3] * 8.0 + lz + 0.5) * voxel_size_m
+    R, t = T_C_L[:3, :3], T_C_L[:3, 3]
+    pcx = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + t[0]
+    pcy = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + t[1]
+    pcz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + t[2]
+    z_safe = jnp.where(pcz > 1e-6, pcz, 1.0)
+    u = camera.fx * pcx / z_safe + camera.cx
+    v = camera.fy * pcy / z_safe + camera.cy
+    in_view = ((pcz > 1e-6) & (u >= 0.0) & (u <= W - 1.0)
+               & (v >= 0.0) & (v <= H - 1.0))
+    inv_scale = scale[:, None]
+    ut = jnp.round(u * inv_scale).astype(jnp.int32) - u0[:, None]
+    vt = jnp.round(v * inv_scale).astype(jnp.int32) - v0[:, None]
+    ok = (in_view & (valid[:, None] > 0)
+          & (ut >= 0) & (ut < TILE_U) & (vt >= 0) & (vt < TILE_V))
+    ut = jnp.where(ok, ut, -1)
+    vt = jnp.where(ok, vt, -1)
 
-    scalars = jnp.concatenate([
-        T_C_L[:3, :4].reshape(-1),
-        jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy,
-                     voxel_size_m, params.truncation_m(voxel_size_m),
-                     params.max_integration_distance_m, params.max_weight,
-                     voxel_size_m, float(W), float(H)], jnp.float32),
-    ]).astype(jnp.float32)  # [23]
+    scalars = jnp.asarray(
+        [params.truncation_m(voxel_size_m),
+         params.max_integration_distance_m, params.max_weight,
+         voxel_size_m], jnp.float32)
 
     # Pad small levels up to the tile size.
     levels = [jnp.pad(l, ((0, max(0, TILE_V - l.shape[0])),
@@ -245,15 +240,16 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
               if (l.shape[0] < TILE_V or l.shape[1] < TILE_U) else l
               for l in levels]
 
-    d3 = distance.reshape(cap, 1, V)
-    w3 = weight.reshape(cap, 1, V)
+    # Contiguous batch rows (row gather — fast on TPU).
+    d_b = distance[safe_slots]
+    w_b = weight[safe_slots]
 
-    def _row(i, slots_p, *_rest):
-        return (slots_p[i], 0, 0)
+    def _blk(i, *_prefetch):
+        return (i, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,   # slot/level/u0/v0/valid/bx/by/bz
-        grid=(N,),
+        num_scalar_prefetch=4,   # level/u0/v0/valid
+        grid=(N // NB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p0 (full, resident)
@@ -261,27 +257,33 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p2
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p3
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p4
-            pl.BlockSpec((1, 1, V), _row,
-                         memory_space=pltpu.VMEM),   # distance row
-            pl.BlockSpec((1, 1, V), _row,
-                         memory_space=pltpu.VMEM),   # weight row
+            pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM),  # ut
+            pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM),  # vt
+            pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM),  # pcz
+            pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM),  # d rows
+            pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM),  # w rows
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, V), _row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, V), _row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_V, TILE_U), jnp.float32),  # sampling tile
+            pltpu.VMEM((NB, V), jnp.float32),           # measured depths
         ],
     )
 
     kernel = functools.partial(_kernel, mode=params.weighting_mode)
-    d_out, w_out = pl.pallas_call(
+    d_o, w_o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(d3.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(w3.shape, jnp.float32)],
-        input_output_aliases={14: 0, 15: 1},  # distance/weight in-place
+        out_shape=[jax.ShapeDtypeStruct((N, V), jnp.float32),
+                   jax.ShapeDtypeStruct((N, V), jnp.float32)],
+        input_output_aliases={13: 0, 14: 1},  # d_b/w_b buffers reused
         interpret=interpret,
-    )(*prefetch, scalars, *levels, d3, w3)
-    return d_out.reshape(cap, V), w_out.reshape(cap, V)
+    )(level, u0, v0, valid, scalars, *levels, ut, vt, pcz, d_b, w_b)
+
+    # Scatter updated rows back (row scatter; padding slots == cap drop).
+    distance = distance.at[slots].set(d_o, mode="drop")
+    weight = weight.at[slots].set(w_o, mode="drop")
+    return distance, weight

@@ -61,6 +61,35 @@ def test_recorded_sequence_pose_gap_gives_bad_frame(tmp_path):
     assert results == [DataLoadResult.SUCCESS, DataLoadResult.BAD_FRAME]
 
 
+def test_recorded_tf_lead_time_streams_poses_ahead(tmp_path):
+    """Bag-replay parity: poses are streamed tf_lead_time_s ahead of the
+    image stream (rosbag_data_loader.cpp:83-150). A frame needing a pose
+    that only exists later in the stream fails with lead 0 but succeeds
+    when the lead covers it."""
+    cam = Camera(fx=50., fy=50., cx=15.5, cy=11.5, width=32, height=24)
+    rec = SequenceRecorder(tmp_path / "seq", cam)
+    # Frame at t=1.0; its bracketing poses are at t=0.9 and t=1.4.
+    rec.add_pose(0.9, np.eye(4, dtype=np.float32))
+    T2 = np.eye(4, dtype=np.float32)
+    T2[0, 3] = 1.0
+    rec.add_pose(1.4, T2)
+    rec.add_frame(1.0, np.ones((24, 32), np.float32))
+    rec.finish()
+
+    strict = RecordedDataLoader(tmp_path / "seq", tf_lead_time_s=0.0,
+                                timestamp_tolerance_s=0.05)
+    r, _ = strict.load_next()
+    # Only the t=0.9 pose streamed; 1.0 is outside the 0.05 tolerance and
+    # there is no bracketing later pose yet.
+    assert r == DataLoadResult.BAD_FRAME
+
+    lead = RecordedDataLoader(tmp_path / "seq", tf_lead_time_s=0.5,
+                              timestamp_tolerance_s=0.05)
+    r, f = lead.load_next()
+    assert r == DataLoadResult.SUCCESS
+    assert 0.0 < f.T_L_C[0, 3] < 1.0  # interpolated between the brackets
+
+
 def test_replica_loader_format(tmp_path):
     """Build a tiny on-disk Replica-format dataset and load it."""
     import imageio.v2 as imageio

@@ -60,6 +60,64 @@ def test_capacity_overflow_counted():
     assert int(state.overflow_count) == 3
 
 
+def test_allocate_and_batch_matches_two_step_path():
+    """The fused allocate_and_batch must produce the same allocation and
+    batch as allocate_from_mask + view_batch (same slot assignment order),
+    including recycled slots."""
+    cfg = wg.WorldGridConfig(dims=(16, 16, 16), capacity=64,
+                             origin_block=(0, 0, 0))
+    idx = [(1, 2, 3), (4, 5, 6), (7, 0, 1)]
+    grid, origin = _mask_grid(idx, (0, 0, 0))
+
+    s_a = wg.create_world_grid(cfg)
+    s_a = wg.allocate_from_mask(s_a, grid, origin)
+    slots_a, bidx_a, n_a = wg.view_batch(s_a, grid, origin, max_blocks=8)
+
+    s_b = wg.create_world_grid(cfg)
+    s_b, slots_b, bidx_b, n_b = wg.allocate_and_batch(
+        s_b, grid, origin, max_blocks=8)
+
+    assert int(n_a) == int(n_b) == 3
+    np.testing.assert_array_equal(np.asarray(slots_a), np.asarray(slots_b))
+    np.testing.assert_array_equal(np.asarray(bidx_a), np.asarray(bidx_b))
+    np.testing.assert_array_equal(np.asarray(s_a.slot_grid),
+                                  np.asarray(s_b.slot_grid))
+    # Recycling: free a slot, re-touch its block -> the freed slot returns.
+    s_b = wg.free_slots(s_b, jnp.asarray([1], jnp.int32))
+    grid1, origin1 = _mask_grid([(4, 5, 6)], (0, 0, 0))
+    s_b, slots_r, bidx_r, n_r = wg.allocate_and_batch(
+        s_b, grid1, origin1, max_blocks=4)
+    assert int(n_r) == 1
+    assert int(np.asarray(slots_r)[0]) == 1  # recycled LIFO
+    np.testing.assert_array_equal(np.asarray(bidx_r)[0], (4, 5, 6))
+    assert int(s_b.free_count) == 0
+
+
+def test_allocate_and_batch_overflow_and_batch_clip():
+    # Pool overflow: capacity 3, 6 touched -> 3 allocated, 3 overflow.
+    state = wg.create_world_grid(wg.WorldGridConfig(
+        dims=(8, 8, 8), capacity=3, origin_block=(0, 0, 0)))
+    idx = [(i, j, 0) for i in range(3) for j in range(2)]
+    grid, origin = _mask_grid(idx, (0, 0, 0))
+    state, slots, _, n = wg.allocate_and_batch(state, grid, origin,
+                                               max_blocks=8)
+    assert int(state.alloc_count) == 3
+    assert int(state.overflow_count) == 3
+    # Failed allocations carry slot == capacity (not integrated).
+    s = np.asarray(slots)[:int(n)]
+    assert (s < 3).sum() == 3 and (s == 3).sum() == 3
+
+    # Batch clip: max_blocks smaller than touched count -> the tail is
+    # dropped this frame and counted as overflow.
+    state2 = wg.create_world_grid(wg.WorldGridConfig(
+        dims=(8, 8, 8), capacity=64, origin_block=(0, 0, 0)))
+    state2, slots2, _, n2 = wg.allocate_and_batch(state2, grid, origin,
+                                                  max_blocks=4)
+    assert int(n2) == 4
+    assert int(state2.alloc_count) == 4
+    assert int(state2.overflow_count) == 2
+
+
 def test_neighbor_slots_match_offsets():
     state = wg.create_world_grid(wg.WorldGridConfig(
         dims=(8, 8, 8), capacity=16, origin_block=(0, 0, 0)))

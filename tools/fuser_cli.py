@@ -36,7 +36,8 @@ def _make_loader(args):
         return RedwoodDataLoader(args.path, max_frames=args.frames or None)
     if args.dataset == "recorded":
         from isaac_ros_nvblox_tpu.datasets.recorded import RecordedDataLoader
-        return RecordedDataLoader(args.path)
+        return RecordedDataLoader(args.path,
+                                  tf_lead_time_s=args.tf_lead_time)
     raise SystemExit(f"unknown dataset {args.dataset!r}")
 
 
@@ -72,6 +73,9 @@ def main():
     ap.add_argument("--voxel-size", type=float, default=0.05)
     ap.add_argument("--out", default="fuser_out")
     ap.add_argument("--no-color", action="store_true")
+    ap.add_argument("--tf-lead-time", type=float, default=0.5,
+                    help="pose-stream lead over images for --dataset "
+                         "recorded (parity: tf_lead_time_s)")
     args = ap.parse_args()
 
     from isaac_ros_nvblox_tpu.datasets.fuser import Fuser, FuserConfig
