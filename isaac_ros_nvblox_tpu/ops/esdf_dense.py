@@ -242,13 +242,20 @@ def esdf_from_sites_dense(is_site, block_index_of_slot, alloc_count,
 
     g0 = jnp.where(is_site, np.float32(0.0), INF)
 
-    # Scatter slot rows into x-pass padded order.
+    # Seed the x-pass rows with a SCALAR scatter + row gather: scatter only
+    # the slot ids (i32[R], ~KBs) into padded row order, then row-gather
+    # the g0 rows — instead of scattering all `cap` pool rows (f32[cap,512],
+    # tens of MB, mostly dropped) directly.
     n_lines_x, Sx = _line_dims(dims_b, 0)
-    rows_x = jnp.full((n_lines_x * line_rows(Sx, band), V), INF)
+    R = n_lines_x * line_rows(Sx, band)
     row_x = _row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2], dims_b, 0,
                          band, padded=True)
-    row_x = jnp.where(in_region, row_x, rows_x.shape[0])
-    rows_x = rows_x.at[row_x].set(g0, mode="drop")
+    row_x = jnp.where(in_region, row_x, R)
+    slot_of_row = jnp.full((R,), cap, jnp.int32).at[row_x].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    ok_r = slot_of_row < cap
+    rows_x = jnp.where(ok_r[:, None],
+                       g0[jnp.clip(slot_of_row, 0, cap - 1)], INF)
 
     out_x = edt_pass_blockmajor(rows_x, n_lines=n_lines_x, Sb=Sx, band=band,
                                 axis=0, interpret=interpret)

@@ -5,28 +5,30 @@ updated TSDF blocks with per-vertex color (SURVEY.md §2.1 "Mesh
 integrator"; mesh_conversions.cpp:62-104 for the colored-mesh wire format).
 
 The XLA meshing path (ops/mesh.py) is dominated by element gathers; the
-round-1 kernel replaced the lookups with one-hot matmuls but still paid
-~5 ms per batch building +1-halo corner stacks with XLA row gathers, and
-~270 MB of f32 triangle-soup output. This version fuses everything:
+round-1 kernel replaced the lookups with one-hot matmuls. This version (v2)
+additionally batches EIGHT voxel blocks per program — the v1 kernel's
+one-block programs were bound by per-program overhead and (1, 512)-shaped
+VPU ops that waste 7/8 sublanes (same finding as the TSDF kernel):
 
-  * the kernel reads the pool rows of each block and its 7 positive-octant
-    neighbors directly via scalar-prefetched index maps (pipelined DMA, no
-    XLA gather, no materialized halo arrays);
-  * the 8 cube-corner samples are assembled in VMEM with lane rolls: the
-    corner (cx,cy,cz) value of voxel lane v is `src[v + 64cx+8cy+cz -
-    64ky - 8kz]` where (kx,ky,kz) are the per-axis block carries — one
-    roll per (neighbor, shift) pair, selected by carry masks;
-  * the 256-case triangle table and triangle counts are ONE one-hot MXU
-    matmul; edge endpoint values/positions are small MXU matmuls; the
-    per-slot edge select stays a masked VPU reduce;
-  * per-vertex COLOR is interpolated along the crossing edge from the
-    corner color stacks (three planar channels), matching the XLA
-    reference's `edge_col` formula exactly;
+  * halo rows (self + 7 positive-octant neighbors, per channel) are
+    materialized by XLA ROW gathers into (N, 8, 512) arrays the kernel
+    consumes as dense (NB, 8, 512) blocks — row gathers are fast on TPU,
+    and dense blocks let everything downstream run at (NB, 512)+ shapes;
+  * the 8 cube-corner samples are assembled with lane rolls + carry masks,
+    fully vectorized across the NB blocks;
+  * edge endpoint values/positions are STATIC corner picks (the classic
+    edge->corner matrices are one-hots, so `da[e] = corners[EDGES[e][0]]`
+    — no matmul needed at all);
+  * the only per-block residue is the 256-case triangle-table lookup: a
+    half-width (128-row) one-hot of `config mod 128` and two small MXU
+    dots with the table halves, selected by the high bit;
+  * edge -> triangle-slot selection iterates the 12 edges with
+    equality-masked accumulation over a (NB, 15, 512) array (exactly equal
+    to a per-slot one-hot reduce — one nonzero term per slot);
   * output is bf16 triangle soup in BLOCK-LOCAL voxel coordinates
     (range (0, 9); quantization ~0.03 voxel = 1.5 mm at 5 cm voxels) with
-    the sentinel -1 marking empty slots — 2.7x less HBM write traffic
-    than f32 + separate mask, and the caller reconstructs world
-    coordinates from the block index.
+    the sentinel -1 marking empty slots, and per-vertex interpolated
+    color, matching the XLA reference's formulas exactly.
 
 Correctness mirror: tests assert exact bf16 equality with ops/mesh.py's
 XLA marching_cubes_blocks (interpret mode on CPU).
@@ -51,6 +53,7 @@ V = 512
 K_SLOTS = MAX_TRIS_PER_CUBE * 3      # 15 triangle-vertex slots
 K_PAD = 16
 SENTINEL = -1.0
+NB = 8                               # voxel blocks per program
 
 # Positive-octant neighbor directions (dx, dy, dz) and their columns in the
 # core/block_pool.NEIGHBOR_OFFSETS 27-neighborhood order.
@@ -61,54 +64,38 @@ NEIGHBOR_COLS = [13, 22, 16, 14, 25, 23, 17, 26]
 
 @functools.lru_cache(maxsize=1)
 def _edge_constants():
-    ea = np.asarray([e[0] for e in EDGES])
-    eb = np.asarray([e[1] for e in EDGES])
-    A = np.zeros((12, 8), np.float32)
-    Bm = np.zeros((12, 8), np.float32)
-    A[np.arange(12), ea] = 1.0
-    Bm[np.arange(12), eb] = 1.0
-    pa = CORNERS[ea].astype(np.float32)   # [12, 3]
-    pb = CORNERS[eb].astype(np.float32)
+    ea = tuple(int(e[0]) for e in EDGES)
+    eb = tuple(int(e[1]) for e in EDGES)
+    pa = CORNERS[np.asarray(ea)].astype(np.float32)   # [12, 3]
+    pb = CORNERS[np.asarray(eb)].astype(np.float32)
     tri_table, tri_counts, _, _ = build_tables()
     # Combined table: row 0 = triangle counts, rows 1..15 = edge ids.
     TT = np.concatenate([tri_counts.astype(np.float32)[None, :],
                          tri_table.astype(np.float32).T], axis=0)  # (16,256)
-    return A, Bm, pa, pb, TT
-
-
-_N_PREFETCH = 17  # valid + 8 distance-row indices + 8 weight-row indices
+    return ea, eb, pa, pb, TT
 
 
 def _make_kernel(with_color: bool, min_weight: float):
     n_ch = 5 if with_color else 2
+    ea, eb, pa, pb, _ = _edge_constants()
 
     def kernel(*refs):
         valid_ref = refs[0]
-        # refs[1:17] are the prefetched row-index arrays (used by the index
-        # maps only).
-        tt_ref, a_ref, b_ref, pp_ref = refs[_N_PREFETCH:_N_PREFETCH + 4]
-        rows = refs[_N_PREFETCH + 4:_N_PREFETCH + 4 + n_ch * 8]
-        outs = refs[_N_PREFETCH + 4 + n_ch * 8:]
+        tt_ref = refs[1]
+        ch_refs = refs[2:2 + n_ch]          # (NB, 8, V) per channel
+        outs = refs[2 + n_ch:]
         if with_color:
-            vout_ref, cout_ref = outs
+            vout_ref, cout_ref = outs[:2]
+            table_s = outs[2]
         else:
-            (vout_ref,) = outs
+            vout_ref = outs[0]
+            table_s = outs[1]
         i = pl.program_id(0)
-        ok_blk = valid_ref[i] > 0
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-        lx = lane // 64
-        ly = (lane // 8) % 8
-        lz = lane % 8
-        mx = lx == 7
-        my = ly == 7
-        mz = lz == 7
-
-        # Channel rows per direction: ch 0 = distance, 1 = weight, 2.. = rgb.
-        ch_rows = []
-        for c in range(n_ch):
-            ch_rows.append({d: rows[c * 8 + k][0]
-                            for k, d in enumerate(_DIRS)})
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NB, V), 1)
+        mx = (lane // 64) == 7
+        my = ((lane // 8) % 8) == 7
+        mz = (lane % 8) == 7
 
         roll_cache = {}
 
@@ -116,7 +103,7 @@ def _make_kernel(with_color: bool, min_weight: float):
             amt = amt % V
             key = (ch, d, amt)
             if key not in roll_cache:
-                src = ch_rows[ch][d]
+                src = ch_refs[ch][:, _DIRS.index(d), :]     # (NB, V)
                 roll_cache[key] = (pltpu.roll(src, (V - amt) % V, axis=1)
                                    if amt else src)
             return roll_cache[key]
@@ -142,97 +129,108 @@ def _make_kernel(with_color: bool, min_weight: float):
                     if kz:
                         cond = cond & mz
                     v = jnp.where(cond, cand, v)
-            return v
+            return v                                        # (NB, V)
 
-        def stack(ch):
-            return jnp.concatenate(
-                [corner_value(ch, cx, cy, cz)
-                 for (cx, cy, cz) in np.asarray(CORNERS).tolist()], axis=0)
+        corners_l = np.asarray(CORNERS).tolist()
+        cd = [corner_value(0, *c) for c in corners_l]       # 8 x (NB, V)
+        cw = [corner_value(1, *c) for c in corners_l]
+        if with_color:
+            ccols = [[corner_value(ch, *c) for c in corners_l]
+                     for ch in (2, 3, 4)]
 
-        cd = stack(0)                             # (8, 512)
-        cw = stack(1)
-        cube_ok = (jnp.min(cw, axis=0, keepdims=True) >= min_weight) & ok_blk
+        wmin = cw[0]
+        for w in cw[1:]:
+            wmin = jnp.minimum(wmin, w)
+        cube_ok = wmin >= min_weight                        # (NB, V)
 
-        bits = (cd < 0.0).astype(jnp.float32)
-        pow2 = jnp.exp2(jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-                        .astype(jnp.float32))
-        config = jnp.sum(bits * pow2, axis=0, keepdims=True)
-        config = jnp.where(cube_ok, config, 0.0)
-        config_i = config.astype(jnp.int32)
+        config = jnp.zeros((NB, V), jnp.float32)
+        for c in range(8):
+            config = config + (cd[c] < 0.0).astype(jnp.float32) * float(2 ** c)
+        config_i = jnp.where(cube_ok, config, 0.0).astype(jnp.int32)
 
-        # 128-split one-hot: build a half-width one-hot of config mod 128
-        # and pick the table half by the high bit — half the one-hot build
-        # cost (the kernel's largest VPU write) for two cheap MXU dots.
+        # Per-block residue: the 256-case table lookup. Half-width one-hot
+        # of config mod 128, two MXU dots, high-bit select. Padding blocks
+        # (valid == 0) write a zero table (0 triangles).
         iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, V), 0)
-        oh = (iota128 == jax.lax.rem(config_i, 128)).astype(jnp.float32)
-        t_lo = jnp.dot(tt_ref[:, :128], oh,
-                       preferred_element_type=jnp.float32)        # (16,512)
-        t_hi = jnp.dot(tt_ref[:, 128:], oh,
-                       preferred_element_type=jnp.float32)
-        table = jnp.where(config_i >= 128, t_hi, t_lo)
-        n_tris = table[0:1, :]
-        edges = table[1:16, :]
+        for j in range(NB):
+            valid_j = valid_ref[i * NB + j]
 
-        da = jnp.dot(a_ref[:, :], cd, preferred_element_type=jnp.float32)
-        db = jnp.dot(b_ref[:, :], cd, preferred_element_type=jnp.float32)
-        denom = da - db
-        t = jnp.clip(da / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12),
-                     0.0, 1.0)
-        pax, pay, paz = pp_ref[:, 0:1], pp_ref[:, 1:2], pp_ref[:, 2:3]
-        pbx, pby, pbz = pp_ref[:, 3:4], pp_ref[:, 4:5], pp_ref[:, 5:6]
-        ex = pax + t * (pbx - pax)                                # (12,512)
-        ey = pay + t * (pby - pay)
-        ez = paz + t * (pbz - paz)
+            @pl.when(valid_j == 0)
+            def _(j=j):
+                table_s[j] = jnp.zeros((K_PAD, V), jnp.float32)
+
+            @pl.when(valid_j > 0)
+            def _(j=j):
+                cj = config_i[j:j + 1]                      # (1, V)
+                oh = (iota128 == jax.lax.rem(cj, 128)).astype(jnp.float32)
+                t_lo = jnp.dot(tt_ref[:, :128], oh,
+                               preferred_element_type=jnp.float32)
+                t_hi = jnp.dot(tt_ref[:, 128:], oh,
+                               preferred_element_type=jnp.float32)
+                table_s[j] = jnp.where(cj >= 128, t_hi, t_lo)  # (16, V)
+
+        table = table_s[:, :, :]                            # (NB, 16, V)
+        n_tris = table[:, 0:1, :]                           # (NB, 1, V)
+        edges = table[:, 1:16, :]                           # (NB, 15, V)
+
+        # Edge interpolation, fully vectorized: endpoint values are STATIC
+        # corner picks (the edge->corner matrices are one-hots).
+        ex, ey, ez = [], [], []
         if with_color:
-            ecs = []
-            for ch in (2, 3, 4):
-                cc = stack(ch)                                    # (8,512)
-                ca = jnp.dot(a_ref[:, :], cc,
-                             preferred_element_type=jnp.float32)
-                cb = jnp.dot(b_ref[:, :], cc,
-                             preferred_element_type=jnp.float32)
-                ecs.append(ca + t * (cb - ca))
-
-        base_x = lx.astype(jnp.float32)
-        base_y = ly.astype(jnp.float32)
-        base_z = lz.astype(jnp.float32)
-
-        # Edge -> slot selection, iterated over the 12 EDGES instead of the
-        # 15 slots: each slot's edge id selects exactly one edge value, so
-        # accumulating equality-masked adds over e is exactly equal to the
-        # per-slot one-hot reduce (one nonzero term per slot) at ~1/3 the
-        # VPU ops ((15,512) elementwise vs (12,512) reduces per slot).
-        slot_i = jax.lax.broadcasted_iota(jnp.int32, (K_SLOTS, V), 0) \
-            .astype(jnp.float32)
-        valid_s = cube_ok & (slot_i < n_tris * 3.0) & (edges >= 0.0)
-        vx = jnp.zeros((K_SLOTS, V), jnp.float32)
-        vy = jnp.zeros((K_SLOTS, V), jnp.float32)
-        vz = jnp.zeros((K_SLOTS, V), jnp.float32)
-        if with_color:
-            cr = jnp.zeros((K_SLOTS, V), jnp.float32)
-            cg = jnp.zeros((K_SLOTS, V), jnp.float32)
-            cb = jnp.zeros((K_SLOTS, V), jnp.float32)
+            ecr, ecg, ecb = [], [], []
         for e in range(12):
-            sel = (edges == jnp.float32(e)).astype(jnp.float32)  # (15, V)
-            vx = vx + sel * ex[e:e + 1]
-            vy = vy + sel * ey[e:e + 1]
-            vz = vz + sel * ez[e:e + 1]
+            da = cd[ea[e]]
+            db = cd[eb[e]]
+            denom = da - db
+            t = jnp.clip(da / jnp.where(jnp.abs(denom) > 1e-12, denom,
+                                        1e-12), 0.0, 1.0)   # (NB, V)
+            ex.append(pa[e, 0] + t * (pb[e, 0] - pa[e, 0]))
+            ey.append(pa[e, 1] + t * (pb[e, 1] - pa[e, 1]))
+            ez.append(pa[e, 2] + t * (pb[e, 2] - pa[e, 2]))
             if with_color:
-                cr = cr + sel * ecs[0][e:e + 1]
-                cg = cg + sel * ecs[1][e:e + 1]
-                cb = cb + sel * ecs[2][e:e + 1]
+                for acc, cc in zip((ecr, ecg, ecb), ccols):
+                    ca = cc[ea[e]]
+                    cb2 = cc[eb[e]]
+                    acc.append(ca + t * (cb2 - ca))
+
+        # Edge -> slot selection: accumulate equality-masked adds over the
+        # 12 edges (exactly one nonzero term per slot).
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, (NB, K_SLOTS, V), 1) \
+            .astype(jnp.float32)
+        valid_s = (cube_ok[:, None, :] & (slot_i < n_tris * 3.0)
+                   & (edges >= 0.0))                        # (NB, 15, V)
+        vx = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
+        vy = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
+        vz = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
+        if with_color:
+            cr = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
+            cg = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
+            cb = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
+        for e in range(12):
+            sel = (edges == jnp.float32(e)).astype(jnp.float32)
+            vx = vx + sel * ex[e][:, None, :]
+            vy = vy + sel * ey[e][:, None, :]
+            vz = vz + sel * ez[e][:, None, :]
+            if with_color:
+                cr = cr + sel * ecr[e][:, None, :]
+                cg = cg + sel * ecg[e][:, None, :]
+                cb = cb + sel * ecb[e][:, None, :]
+
+        base_x = (lane // 64).astype(jnp.float32)[:, None, :]
+        base_y = ((lane // 8) % 8).astype(jnp.float32)[:, None, :]
+        base_z = (lane % 8).astype(jnp.float32)[:, None, :]
         sent = jnp.float32(SENTINEL)
-        pad = jnp.full((K_PAD - K_SLOTS, V), SENTINEL, jnp.float32)
-        zpad = jnp.zeros((K_PAD - K_SLOTS, V), jnp.float32)
+        pad = jnp.full((NB, K_PAD - K_SLOTS, V), SENTINEL, jnp.float32)
+        zpad = jnp.zeros((NB, K_PAD - K_SLOTS, V), jnp.float32)
         for c, (comp, base) in enumerate(
                 ((vx, base_x), (vy, base_y), (vz, base_z))):
             rows = jnp.where(valid_s, comp + base + 0.5, sent)
-            vout_ref[0, c] = jnp.concatenate([rows, pad], axis=0) \
+            vout_ref[:, c] = jnp.concatenate([rows, pad], axis=1) \
                 .astype(jnp.bfloat16)
         if with_color:
             for c, comp in enumerate((cr, cg, cb)):
                 rows = jnp.where(valid_s, comp, 0.0)
-                cout_ref[0, c] = jnp.concatenate([rows, zpad], axis=0) \
+                cout_ref[:, c] = jnp.concatenate([rows, zpad], axis=1) \
                     .astype(jnp.bfloat16)
 
     return kernel
@@ -259,51 +257,41 @@ def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
       colors: bf16[N, 3, 16, 512] per-vertex RGB (0-255), or None.
     """
     cap = tsdf_rows.shape[0]
-    N = nbr8.shape[0]
-    A, Bm, pa, pb, TT = _edge_constants()
-    pp = np.concatenate([pa, pb, np.zeros((12, 2), np.float32)], axis=1)
+    N_orig = N = nbr8.shape[0]
+    N8 = ((N + NB - 1) // NB) * NB
+    if N8 != N:
+        padn = N8 - N
+        nbr8 = jnp.concatenate(
+            [nbr8, jnp.full((padn, 8), -1, nbr8.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((padn,), valid.dtype)])
+        N = N8
+    _, _, _, _, TT = _edge_constants()
 
     safe = jnp.clip(nbr8, 0, cap - 1).astype(jnp.int32)
     present = nbr8 >= 0
     # Absent neighbors must contribute weight 0 (-> cube_ok false at their
-    # corners). Instead of masking rows in-kernel, route them to a zero-
-    # weight row: pool row gathers clamp to row `cap - 1` only when that
-    # row is itself in use, so mask via a weight multiplier row set.
-    d3 = tsdf_rows.reshape(cap, 1, V)
-    # Weight rows with one extra all-zero row for absent neighbors.
+    # corners): route their weight reads to an extra all-zero row.
     w_pad = jnp.concatenate(
         [weight_rows, jnp.zeros((1, V), weight_rows.dtype)], axis=0)
-    w3 = w_pad.reshape(cap + 1, 1, V)
     w_idx = jnp.where(present, safe, cap).astype(jnp.int32)
 
-    n_ch = 5 if with_color else 2
-    prefetch = [valid.astype(jnp.int32)]
-    prefetch += [safe[:, k] for k in range(8)]          # d index per dir
-    prefetch += [w_idx[:, k] for k in range(8)]         # w index per dir
-
-    def _row_spec(arg_pos):
-        # arg_pos: which prefetch array holds this input's row index.
-        return pl.BlockSpec(
-            (1, 1, V),
-            lambda i, *pf, ap=arg_pos: (pf[ap][i], 0, 0),
-            memory_space=pltpu.VMEM)
-
-    const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-    d_specs = [_row_spec(1 + k) for k in range(8)]
-    w_specs = [_row_spec(9 + k) for k in range(8)]
-    c_specs = []
-    inputs = [jnp.asarray(TT), jnp.asarray(A), jnp.asarray(Bm),
-              jnp.asarray(pp)]
-    inputs += [d3] * 8 + [w3] * 8
+    # Halo rows materialized by XLA ROW gathers -> dense (N, 8, V) inputs.
+    d_rows = tsdf_rows[safe]                 # (N, 8, V)
+    w_rows = w_pad[w_idx]
+    inputs = [jnp.asarray(TT), d_rows, w_rows]
     if with_color:
-        cr, cg, cb = color_rows
-        c3 = [c.reshape(cap, 1, V) for c in (cr, cg, cb)]
-        c_specs = ([_row_spec(1 + k) for k in range(8)]
-                   + [_row_spec(1 + k) for k in range(8)]
-                   + [_row_spec(1 + k) for k in range(8)])
-        inputs += [c3[0]] * 8 + [c3[1]] * 8 + [c3[2]] * 8
+        crr, cgg, cbb = color_rows
+        inputs += [crr[safe], cgg[safe], cbb[safe]]
+    n_ch = 5 if with_color else 2
 
-    out_specs = [pl.BlockSpec((1, 3, K_PAD, V), lambda i, *pf: (i, 0, 0, 0),
+    def _blk(i, *_pf):
+        return (i, 0, 0)
+
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # TT (16, 256)
+                + [pl.BlockSpec((NB, 8, V), _blk, memory_space=pltpu.VMEM)]
+                * n_ch)
+    out_specs = [pl.BlockSpec((NB, 3, K_PAD, V),
+                              lambda i, *pf: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((N, 3, K_PAD, V), jnp.bfloat16)]
     if with_color:
@@ -311,10 +299,11 @@ def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
         out_shape = out_shape * 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=len(prefetch),
-        grid=(N,),
-        in_specs=const_specs + d_specs + w_specs + c_specs,
+        num_scalar_prefetch=1,   # valid
+        grid=(N // NB,),
+        in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((NB, K_PAD, V), jnp.float32)],  # table
     )
     kernel = _make_kernel(with_color, float(min_weight))
     outs = pl.pallas_call(
@@ -322,10 +311,11 @@ def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(*prefetch, *inputs)
+    )(valid.astype(jnp.int32), *inputs)
+    verts = outs[0][:N_orig]
     if with_color:
-        return outs[0], outs[1]
-    return outs[0], None
+        return verts, outs[1][:N_orig]
+    return verts, None
 
 
 def local_to_world_verts(verts_local, block_indices, voxel_size_m: float):
