@@ -80,45 +80,70 @@ def line_rows(Sb: int, band: int) -> int:
 # The pass kernel
 # ---------------------------------------------------------------------------
 
-def _pass_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
-                 m: int):
-    """One line: banded 1-D min-plus along the scan axis.
+_NL = 8   # lines per program (amortizes per-program overhead ~8x)
+_EP = 8   # INF edge-pad rows around the stacked block in scratch
 
-    in_ref:  f32[Sp, 512] one line of blocks (Sp = line_rows(Sb, band)),
-             halo/pad rows = INF.
-    out_ref: f32[Sb, 512] result for the line's center blocks.
-    c_ref:   f32[7, Sp, 512] scratch for the carry-combined shift buffers.
+
+def _pass_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
+                 m: int, NL: int):
+    """NL stacked lines: banded 1-D min-plus along the scan axis.
+
+    in_ref:  f32[NL * Sp, 512] NL independent lines, each Sp =
+             line_rows(Sb, band) rows with halo/pad rows = INF.
+    out_ref: f32[NL * Sb, 512] results for each line's center blocks.
+    c_ref:   f32[8, NL*Sp + 2*EP, 512] scratch: slot 7 holds the input
+             (edge-padded with INF), slots 0..6 the carry-combined shift
+             buffers.
+
+    The candidate loop runs over the WHOLE stacked block in one op per
+    candidate: a real output row only ever reads rows within its own
+    line's halo (|a| <= band//8 < Hb), so cross-line contamination can
+    only land in halo rows, which the caller discards. The INF edge pad
+    keeps the shifted slices in-bounds at the block boundary.
     """
-    Sp = in_ref.shape[0]
+    L = in_ref.shape[0]
     x = in_ref[:]
 
     # Intra-block scan coordinate of each lane: ls = (v // m) % 8.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
     ls = (lane // m) % 8
 
+    # Edge pads (once; rows [EP, EP+L) carry data below).
+    inf_pad = jnp.full((_EP, V), INF)
+    for s in range(8):
+        c_ref[s, :_EP] = inf_pad
+        c_ref[s, _EP + L:] = inf_pad
+    c_ref[7, _EP:_EP + L] = x
+
     # Carry-combined buffers: C_b[r] holds, per lane, the value of the
     # voxel b steps further along the scan axis (crossing into block row
-    # r+1 for lanes whose intra-block coordinate wraps).
+    # r+1 for lanes whose intra-block coordinate wraps). Row L-1's carry
+    # reads the pad (INF) — it is a halo row, discarded by the caller.
     for b in range(1, 8):
         r_b = pltpu.roll(x, (V - b * m) % V, axis=1)      # x[v + b*m]
         r_pb = pltpu.roll(x, ((8 - b) * m) % V, axis=1)   # x[v - (8-b)*m]
         mask = ls < (8 - b)
-        c_ref[b - 1, : Sp - 1] = jnp.where(mask, r_b[: Sp - 1], r_pb[1:Sp])
+        c_ref[b - 1, _EP:_EP + L - 1] = jnp.where(
+            mask, r_b[: L - 1], r_pb[1:L])
+        c_ref[b - 1, _EP + L - 1:_EP + L] = inf_pad[:1]
 
     def cand(k):
         b = k % 8                      # python mod: in [0, 8)
         a = (k - b) // 8               # floor
-        if b == 0:
-            return in_ref[Hb + a:Hb + a + Sb]
-        return c_ref[b - 1, Hb + a:Hb + a + Sb]
+        s = 7 if b == 0 else b - 1
+        return c_ref[s, _EP + a:_EP + a + L]
 
     # Symmetric pairing: +k and -k share the weight k^2, so min them before
     # the add — 3 VPU ops per pair instead of 4.
-    acc = x[Hb:Hb + Sb] + np.float32(0.0)
+    acc = x + np.float32(0.0)
     for k in range(1, band + 1):
         pair = jnp.minimum(cand(k), cand(-k))
         acc = jnp.minimum(acc, pair + np.float32(k * k))
-    out_ref[:] = acc
+
+    Sp = L // NL
+    for ll in range(NL):
+        out_ref[ll * Sb:(ll + 1) * Sb] = \
+            acc[ll * Sp + Hb:ll * Sp + Hb + Sb]
 
 
 @functools.partial(jax.jit,
@@ -134,18 +159,26 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
     Hb = halo_blocks(band)
     Sp = line_rows(Sb, band)
     m = _LANE_STRIDE[axis]
-    kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m)
-    return pl.pallas_call(
+    NL = _NL
+    n_grid = (n_lines + NL - 1) // NL
+    n_pad = n_grid * NL
+    if n_pad != n_lines:
+        rows = jnp.concatenate(
+            [rows, jnp.full(((n_pad - n_lines) * Sp, V), INF, rows.dtype)])
+    kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
+                             NL=NL)
+    out = pl.pallas_call(
         kern,
-        grid=(n_lines,),
-        in_specs=[pl.BlockSpec((Sp, V), lambda i: (i, 0),
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((NL * Sp, V), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((Sb, V), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((NL * Sb, V), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_lines * Sb, V), rows.dtype),
-        scratch_shapes=[pltpu.VMEM((7, Sp, V), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_pad * Sb, V), rows.dtype),
+        scratch_shapes=[pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)],
         interpret=interpret,
     )(rows)
+    return out[:n_lines * Sb]
 
 
 # ---------------------------------------------------------------------------
