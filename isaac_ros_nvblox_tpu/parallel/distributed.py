@@ -45,3 +45,66 @@ def put_sharded(tree, mesh: Mesh, spec) -> object:
     from jax.sharding import NamedSharding
     sh = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def allgather_submaps(collection):
+    """All-gather per-process submaps across hosts -> a global collection.
+
+    Each process contributes its LOCAL submaps (fixed-size WorldGridState +
+    TSDF channels + anchor poses); `process_allgather` moves them over DCN
+    and every host reconstructs the full SubmapCollection, ready for
+    pose-graph optimization + fusion (mapper/submaps.py). This is the
+    multi-host leg of the north-star submap-fusion config: mapping is
+    host-local and drift-free per window; global consistency is a
+    service-rate collective.
+
+    All processes must hold the same NUMBER of submaps with the same world
+    config (pad with empty submaps if needed).
+    """
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from isaac_ros_nvblox_tpu.mapper.submaps import SubmapCollection
+
+    payload = {
+        "anchors": jnp.stack([jnp.asarray(T) for T in collection.T_W_S_est]),
+        "states": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[m.state for m in collection.mappers]),
+        "tsdf_distance": jnp.stack(
+            [m.channels["tsdf_distance"] for m in collection.mappers]),
+        "tsdf_weight": jnp.stack(
+            [m.channels["tsdf_weight"] for m in collection.mappers]),
+    }
+    g = multihost_utils.process_allgather(payload)  # leading axis: process
+
+    out = SubmapCollection(collection.make_mapper, collection.params)
+    n_proc = int(g["anchors"].shape[0])
+    n_local = len(collection.mappers)
+    for p in range(n_proc):
+        for s in range(n_local):
+            m = collection.make_mapper()
+            m.state = jax.tree.map(lambda x, p=p, s=s: jnp.asarray(x[p, s]),
+                                   g["states"])
+            m.channels["tsdf_distance"] = jnp.asarray(
+                g["tsdf_distance"][p, s])
+            m.channels["tsdf_weight"] = jnp.asarray(g["tsdf_weight"][p, s])
+            m._region_unknown = True
+            out.mappers.append(m)
+            anchor = np.asarray(g["anchors"][p, s], np.float32)
+            out.T_W_S_est.append(anchor)
+            out.T_W_S_opt.append(anchor.copy())
+            out._first_cam.append(anchor.copy())
+        # Reconstruct each process's intra-run odometry chain (the same
+        # between-factors _spawn created locally are a pure function of the
+        # gathered anchors), so the global collection is immediately
+        # optimizable once cross-process loop closures are added.
+        base = p * n_local
+        for s in range(1, n_local):
+            T_prev_this = np.linalg.inv(
+                np.asarray(g["anchors"][p, s - 1], np.float64)) \
+                @ np.asarray(g["anchors"][p, s], np.float64)
+            out.graph.add_between(base + s - 1, base + s,
+                                  T_prev_this.astype(np.float32),
+                                  weight=collection.params.odometry_weight)
+    return out

@@ -50,7 +50,9 @@ def test_two_process_sharded_mapping():
     for pid, (w, out) in enumerate(zip(workers, outs)):
         assert w.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER{pid} OK" in out
-    # Both processes computed identical global scalars (replicated outputs).
-    line0 = [l for l in outs[0].splitlines() if "resolved=" in l][0]
-    line1 = [l for l in outs[1].splitlines() if "resolved=" in l][0]
-    assert line0.split("resolved=")[1] == line1.split("resolved=")[1]
+    # Both processes computed identical global scalars (replicated outputs):
+    # the sharded-ESDF checksum and the gathered-submap fused-map checksum.
+    for key in ("resolved=", "fused="):
+        line0 = [l for l in outs[0].splitlines() if key in l][0]
+        line1 = [l for l in outs[1].splitlines() if key in l][0]
+        assert line0.split(key)[1] == line1.split(key)[1], key

@@ -60,6 +60,52 @@ def main() -> int:
     print(f"WORKER{pid} resolved={resolved} w={total_w:.3f}", flush=True)
     assert resolved > 1000, resolved
     assert total_w > 0
+
+    # ---- Phase 2: cross-process pose-graph submap fusion -----------------
+    # Each process maps ITS OWN region into local submaps; allgather moves
+    # the submaps over the (DCN-path) collective; every host then optimizes
+    # the same global pose graph and fuses the same global map.
+    from isaac_ros_nvblox_tpu.core.world_grid import WorldGridConfig
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
+    from isaac_ros_nvblox_tpu.mapper.submaps import (SubmapCollection,
+                                                     SubmapParams)
+
+    def make_mapper():
+        return DeviceMapper(
+            voxel_size_m=0.1,
+            world=WorldGridConfig(dims=(16, 16, 8), capacity=1024,
+                                  origin_block=(-8, -8, -2)),
+            enable_color=False, enable_esdf=False,
+            max_blocks_per_frame=512)
+
+    coll = SubmapCollection(make_mapper,
+                            SubmapParams(max_translation_m=1.0,
+                                         max_rotation_rad=2.0))
+    target = (0.6 * pid, 0.0, 0.4)   # process-specific region
+    local_scene = Scene(primitives=(Sphere(center=target, radius=0.35),))
+    for k in (0, 1, 4, 5):           # two far-apart frame pairs -> 2 submaps
+        T = orbit_pose(2 * np.pi * k / 8, radius=1.2, height=0.4,
+                       target=target)
+        depth = np.asarray(render_depth(local_scene, cam, jnp.asarray(T)))
+        coll.integrate_depth(depth, T, cam)
+    assert coll.num_submaps == 2, coll.num_submaps
+
+    gathered = dist.allgather_submaps(coll)
+    assert gathered.num_submaps == 2 * n_proc, gathered.num_submaps
+    # Deterministic closure linking the two processes' runs: every host adds
+    # the identical factor (a pure function of the gathered anchors), so the
+    # optimized graph and the fused map are replicated.
+    T_0_2 = np.linalg.inv(np.asarray(gathered.T_W_S_est[0], np.float64)) \
+        @ np.asarray(gathered.T_W_S_est[2], np.float64)
+    gathered.add_loop_closure(0, 2, T_0_2.astype(np.float32), weight=10.0)
+    gathered.optimize(iters=5)
+    fused = gathered.fuse()
+    fn = fused.block_count()
+    fw = float(jnp.sum(fused.channels["tsdf_weight"]))
+    print(f"WORKER{pid} submaps={gathered.num_submaps} "
+          f"fused=n{fn}_w{fw:.3f}", flush=True)
+    assert fn > 0 and fw > 0
+
     print(f"WORKER{pid} OK", flush=True)
     return 0
 
