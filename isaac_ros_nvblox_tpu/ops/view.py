@@ -49,6 +49,51 @@ def _grid_radius_blocks(max_distance_m: float, voxel_size_m: float) -> int:
     return int(np.ceil(max_distance_m / bs)) + 1
 
 
+@functools.lru_cache(maxsize=None)
+def _camera_grid_geometry(camera: Camera, voxel_size_m: float,
+                          max_distance_m: float) -> Tuple[float, int]:
+    """Static per-camera geometry of the touch test's support region.
+
+    Everything touched_block_grid can mark lies in the camera frustum
+    inflated laterally by half a block diagonal (the in_view half_diag
+    slack), reaching max_distance + bs in depth, plus the 1.5*bs
+    near-camera ball. That region's minimal enclosing sphere sits ON the
+    optical axis — centering the G^3 cell grid there instead of on the
+    camera origin shrinks G (the naive ball around the camera wastes the
+    entire hemisphere behind the sensor).
+
+    Returns (h_m, R_blocks): grid center = camera origin + h_m * optical
+    axis; grid half-extent R_blocks cells.
+    """
+    bs = block_size_m(voxel_size_m)
+    D = max_distance_m + bs
+    m = bs * float(np.sqrt(3.0)) / 4.0   # lateral inflation (half_diag cap)
+    tu = max(camera.cx, camera.width - 1.0 - camera.cx) / camera.fx
+    tv = max(camera.cy, camera.height - 1.0 - camera.cy) / camera.fy
+    b = 1.5 * bs   # near-camera ball (touched |= dist(center, cam) < 1.5*bs)
+    pts = [(0.0, 0.0, -b), (b, 0.0, 0.0), (-b, 0.0, 0.0),
+           (0.0, b, 0.0), (0.0, -b, 0.0)]
+    for su in (-1.0, 1.0):
+        for sv in (-1.0, 1.0):
+            pts.append((su * (m + b), sv * (m + b), 0.0))
+            pts.append((su * (D * tu + m), sv * (D * tv + m), D))
+    pts = np.asarray(pts)
+
+    def rad(h):
+        return float(np.max(np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2
+                                    + (pts[:, 2] - h) ** 2)))
+
+    lo, hi = 0.0, D   # rad(h) is convex (max of convex) -> ternary search
+    for _ in range(80):
+        m1, m2 = lo + (hi - lo) / 3.0, hi - (hi - lo) / 3.0
+        if rad(m1) < rad(m2):
+            hi = m2
+        else:
+            lo = m1
+    h = 0.5 * (lo + hi)
+    return h, int(np.ceil(rad(h) / bs)) + 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "voxel_size_m", "max_distance_m", "subsample",
@@ -77,11 +122,12 @@ def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
     """
     del subsample  # unused in the dense formulation
     bs = block_size_m(voxel_size_m)
-    R = _grid_radius_blocks(max_distance_m, voxel_size_m)
+    h_m, R = _camera_grid_geometry(camera, voxel_size_m, max_distance_m)
     G = 2 * R + 1
 
     cam_origin = T_L_C[:3, 3]
-    origin_block = jnp.floor(cam_origin / bs).astype(jnp.int32) - R
+    grid_center = cam_origin + T_L_C[:3, 2] * h_m
+    origin_block = jnp.floor(grid_center / bs).astype(jnp.int32) - R
 
     # Max-valid-depth coarse images (invalid pixels carry 0, never raise
     # max). Only two coarse levels are needed: the touch test samples max

@@ -65,6 +65,24 @@ def test_blocks_in_view_cover_surface():
     assert any((idx == cam_block).all(axis=1))
 
 
+def test_touched_grid_never_clips_at_boundary():
+    """The frustum-recentred view grid (enclosing-sphere geometry) must
+    fully contain every block the touch criterion can mark: no touched
+    cell may ever sit on the grid's outer shell, for any camera pitch."""
+    from isaac_ros_nvblox_tpu.ops.view import touched_block_grid
+    scene = default_test_scene()
+    for k in range(6):
+        T = jnp.asarray(orbit_pose(2 * np.pi * k / 6, radius=1.5,
+                                   height=0.5 + 0.8 * np.sin(2.1 * k)))
+        depth = render_depth(scene, CAMERA, T)
+        grid, _ = touched_block_grid(
+            depth, T, camera=CAMERA, voxel_size_m=VOXEL_SIZE,
+            max_distance_m=5.0, truncation_m=0.2, subsample=1)
+        g = np.asarray(grid)
+        shell = int(g.sum() - g[1:-1, 1:-1, 1:-1].sum())
+        assert shell == 0, f"frame {k}: {shell} touched cells clipped"
+
+
 def test_tsdf_matches_analytic_sdf():
     """Fused TSDF near the surface should match the analytic SDF within ~a voxel."""
     scene = default_test_scene()
