@@ -5,11 +5,12 @@ image lookup: XLA lowers it to an element gather (~115 M elem/s on v5e), so
 ~2M samples cost ~20 ms. TPUs have no gather hardware — but they have an
 MXU, and a gather is a one-hot matmul.
 
-Kernel design (round 2, v2 — 8 blocks per program):
+Kernel design (round 2, v3 — 8 blocks per program, footprint-centred
+window):
   * XLA pre-pass (fused elementwise, no gathers) computes per-voxel
     tile-space sample coordinates `ut/vt` (-1 = invalid) and camera-frame
     depth `pcz` for the whole batch, plus per-block tile parameters
-    (decimation level, 128-aligned tile origin);
+    (decimation level, 128-aligned tile origin, footprint window shift);
   * batch pool rows are gathered once as contiguous ROW gathers
     (fast on TPU — element gathers are not), the kernel runs on dense
     (8, 512) blocks, and results scatter back by row;
@@ -18,11 +19,20 @@ Kernel design (round 2, v2 — 8 blocks per program):
     (1, 512) ops wasted 7/8 sublanes and its per-program overhead
     dominated: measured 1.7 of 2.0 ms with sampling disabled);
   * per block, a 32x256 tile of the decimation level whose cell size
-    covers the block's footprint is sliced into VMEM, and per-voxel
-    sampling is **separable one-hot** on the MXU:
-        measured[v] = sum_r OHV[r,v] * (tile @ OHU)[r,v]
-    — zero gathers, zero lane reshuffles. Invalid/padding blocks skip the
-    tile copy and both matmuls.
+    covers the block's footprint is sliced into VMEM, then **rotated so
+    the 32-px footprint window starts at column 0** (pltpu.roll with a
+    dynamic shift — lane-dim dynamic slices must be 128-aligned, rolls
+    need not) and sliced to 128 lanes. Per-voxel sampling is separable
+    one-hot on the MXU:
+        measured[v] = sum_r OHV[r,v] * (window @ OHU)[r,v]
+    with OHU only 32 live rows (embedded in a once-zeroed 128-row
+    scratch): the v2 kernel's dominant VPU cost was building a 128-row
+    one-hot per block; the window trick cuts the build 4x and halves the
+    matmul. Invalid/padding blocks skip the tile copy and the matmul.
+    Voxels whose sample falls outside the 32-px window are skipped (no
+    update) — same policy as the 32-row v-window, affecting only very
+    near, far-off-axis blocks whose per-voxel spread exceeds the block
+    footprint estimate.
 
 Reference behavior: ProjectiveTsdfIntegrator (SURVEY.md §2.1) — per-voxel
 projective SDF fusion with the 6 weighting functions of
@@ -49,17 +59,26 @@ TILE_U = 256       # tile cols: 2 x 128; with u0 = round(uc/128)*128 - 128
                    # the footprint center sits within [u0+64, u0+192), so
                    # both margins are >= 64 px >> the <=16 px footprint
                    # (lane-dim slice origins must be 128-aligned on TPU)
+UW = 32            # footprint window width after the dynamic roll
+OHU_ROWS = 128     # one-hot scratch rows (matmul contraction dim)
 N_LEVELS = 5       # decimation levels 0..4 (footprints up to ~512 px)
 V = 512
 NB = 8             # voxel blocks per program (sublane-dim batching)
 
 
-def _kernel(level_ref, u0_ref, v0_ref, valid_ref, scal_ref,
+def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
             p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref, d_ref, w_ref,
-            d_out, w_out, tile_scratch, meas_scratch, *,
+            d_out, w_out, tile_scratch, ohu_scratch, meas_scratch, *,
             mode: WeightingFunctionType):
     """Eight blocks: per-block one-hot sampling, vectorized (8,512) fusion."""
     i = pl.program_id(0)
+
+    # One-hot scratch: only rows [0, UW) are ever written per block; the
+    # rest stay zero for the whole grid (zeroed once here), so the 128-row
+    # contraction only ever sees the live window.
+    @pl.when(i == 0)
+    def _():
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
 
     truncation = scal_ref[0]
     max_dist = scal_ref[1]
@@ -84,24 +103,22 @@ def _kernel(level_ref, u0_ref, v0_ref, valid_ref, scal_ref,
                 def _():
                     tile_scratch[:, :] = ref[pl.ds(v0, TILE_V),
                                              pl.ds(u0, TILE_U)]
-            ut = ut_ref[j:j + 1]                               # (1, V)
+            # Rotate the footprint window to column 0 (dynamic roll: lane
+            # slices must be 128-aligned, rolls need not) and keep 128
+            # lanes for the contraction.
+            sh = shift_ref[i * NB + j]
+            rolled = pltpu.roll(tile_scratch[:, :],
+                                jax.lax.rem(TILE_U - sh, TILE_U), axis=1)
+            window = rolled[:, :OHU_ROWS]                  # (TILE_V, 128)
+            ut = ut_ref[j:j + 1]                           # (1, V), in [0,UW)
             vt = vt_ref[j:j + 1]
-            # Column selection in two stages to halve the one-hot build
-            # (the kernel's dominant VPU cost): a 128-wide one-hot of
-            # ut mod 128 feeds BOTH tile halves through the MXU, and the
-            # high bit of ut picks the half per voxel. Invalid voxels
-            # (ut == -1) produce an all-zero one-hot column.
-            ul = jnp.where(ut >= 0, jax.lax.rem(ut, TILE_U // 2), -1)
-            uh = ut >= TILE_U // 2
-            iota_u = jax.lax.broadcasted_iota(jnp.int32, (TILE_U // 2, V), 0)
+            iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-            ohu = (iota_u == ul).astype(jnp.float32)       # (TILE_U/2, V)
+            # Invalid voxels (ut == -1) produce an all-zero one-hot column.
+            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.float32)
             ohv = (iota_v == vt).astype(jnp.float32)       # (TILE_V, V)
-            tmp_l = jnp.dot(tile_scratch[:, :TILE_U // 2], ohu,
-                            preferred_element_type=jnp.float32)
-            tmp_r = jnp.dot(tile_scratch[:, TILE_U // 2:], ohu,
-                            preferred_element_type=jnp.float32)
-            tmp = jnp.where(uh, tmp_r, tmp_l)              # (TILE_V, V)
+            tmp = jnp.dot(window, ohu_scratch[:, :],
+                          preferred_element_type=jnp.float32)  # (TILE_V, V)
             meas_scratch[j:j + 1] = jnp.sum(ohv * tmp, axis=0, keepdims=True)
 
     # --- vectorized fusion on (8, 512).
@@ -199,6 +216,10 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
     v0 = (v0 // 8) * 8
     u0 = (jnp.round(uc * scale / 128.0).astype(jnp.int32) - 1) * 128
     u0 = jnp.clip(u0, 0, w_l - TILE_U)
+    # Footprint window start within the tile (the kernel rolls this to
+    # column 0): centred on the block's projected centre, clamped inside.
+    utc = jnp.round(uc * scale).astype(jnp.int32) - u0
+    shift = jnp.clip(utc - UW // 2, 0, TILE_U - UW)
     valid = (slots < cap).astype(jnp.int32)
     safe_slots = jnp.where(slots < cap, slots, 0)
 
@@ -222,10 +243,11 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
     in_view = ((pcz > 1e-6) & (u >= 0.0) & (u <= W - 1.0)
                & (v >= 0.0) & (v <= H - 1.0))
     inv_scale = scale[:, None]
-    ut = jnp.round(u * inv_scale).astype(jnp.int32) - u0[:, None]
+    ut = (jnp.round(u * inv_scale).astype(jnp.int32)
+          - u0[:, None] - shift[:, None])
     vt = jnp.round(v * inv_scale).astype(jnp.int32) - v0[:, None]
     ok = (in_view & (valid[:, None] > 0)
-          & (ut >= 0) & (ut < TILE_U) & (vt >= 0) & (vt < TILE_V))
+          & (ut >= 0) & (ut < UW) & (vt >= 0) & (vt < TILE_V))
     ut = jnp.where(ok, ut, -1)
     vt = jnp.where(ok, vt, -1)
 
@@ -248,7 +270,7 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
         return (i, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,   # level/u0/v0/valid
+        num_scalar_prefetch=5,   # level/u0/v0/shift/valid
         grid=(N // NB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars (full)
@@ -269,6 +291,7 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_V, TILE_U), jnp.float32),  # sampling tile
+            pltpu.VMEM((OHU_ROWS, V), jnp.float32),     # embedded one-hot
             pltpu.VMEM((NB, V), jnp.float32),           # measured depths
         ],
     )
@@ -279,9 +302,9 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((N, V), jnp.float32),
                    jax.ShapeDtypeStruct((N, V), jnp.float32)],
-        input_output_aliases={13: 0, 14: 1},  # d_b/w_b buffers reused
+        input_output_aliases={14: 0, 15: 1},  # d_b/w_b buffers reused
         interpret=interpret,
-    )(level, u0, v0, valid, scalars, *levels, ut, vt, pcz, d_b, w_b)
+    )(level, u0, v0, shift, valid, scalars, *levels, ut, vt, pcz, d_b, w_b)
 
     # Scatter updated rows back (row scatter; padding slots == cap drop).
     distance = distance.at[slots].set(d_o, mode="drop")

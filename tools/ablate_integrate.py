@@ -46,12 +46,14 @@ cfg = wg.WorldGridConfig(dims=(64, 64, 32), capacity=16384,
 
 
 def timeit(name, fn, *args, reps=3):
-    out = jax.jit(fn)(*args)
+    jfn = jax.jit(fn)
+    print(f"[compile] {name}...", flush=True)
+    out = jfn(*args)
     _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32).ravel()[:1]))
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jax.jit(fn)(*args)
+        out = jfn(*args)
         _ = float(jnp.sum(
             jax.tree.leaves(out)[0].astype(jnp.float32).ravel()[:1]))
         best = min(best, time.perf_counter() - t0)
@@ -128,21 +130,27 @@ def scan_kernel_only(depths, poses, slots, bidx):
 
 
 def main():
+    stages = sys.argv[1:] or ["empty", "view", "view_alloc", "full", "kernel"]
     print("device:", jax.devices()[0], flush=True)
-    timeit("empty scan", scan_empty, depths, poses)
-    timeit("view grid", scan_view, depths, poses)
-    timeit("view+alloc", scan_view_alloc, depths, poses)
-    timeit("full fused (pallas)", scan_full, depths, poses)
-    # Kernel with a fixed realistic batch (blocks actually in view).
-    grid, origin = view_ops.touched_block_grid(
-        depths[0], poses[0], camera=CAM, voxel_size_m=VOX,
-        max_distance_m=5.0, truncation_m=TRUNC, subsample=1)
-    state = wg.create_world_grid(cfg)
-    state, slots, bidx, nv = wg.allocate_and_batch(
-        state, grid, origin, max_blocks=MAXB)
-    print("in-view blocks:", int(nv), flush=True)
-    timeit("kernel only (fixed batch)", scan_kernel_only,
-           depths, poses, slots, bidx)
+    if "empty" in stages:
+        timeit("empty scan", scan_empty, depths, poses)
+    if "view" in stages:
+        timeit("view grid", scan_view, depths, poses)
+    if "view_alloc" in stages:
+        timeit("view+alloc", scan_view_alloc, depths, poses)
+    if "full" in stages:
+        timeit("full fused (pallas)", scan_full, depths, poses)
+    if "kernel" in stages:
+        # Kernel with a fixed realistic batch (blocks actually in view).
+        grid, origin = view_ops.touched_block_grid(
+            depths[0], poses[0], camera=CAM, voxel_size_m=VOX,
+            max_distance_m=5.0, truncation_m=TRUNC, subsample=1)
+        state = wg.create_world_grid(cfg)
+        state, slots, bidx, nv = wg.allocate_and_batch(
+            state, grid, origin, max_blocks=MAXB)
+        print("in-view blocks:", int(nv), flush=True)
+        timeit("kernel only (fixed batch)", scan_kernel_only,
+               depths, poses, slots, bidx)
 
 
 if __name__ == "__main__":
