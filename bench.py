@@ -61,16 +61,40 @@ def main():
     voxel_size = 0.05
     n_frames = 16
 
-    # Pre-render the trajectory on device (not part of the timed pipeline).
+    # Dataset replay (reference methodology: the baseline numbers are
+    # per-frame component times during *dataset* replay, README.md:52-163):
+    # the trajectory is written once as an on-disk Replica-format sequence
+    # (traj.txt + 16-bit depth pngs) and replayed through the real file
+    # loader; frames are uploaded to the device before the timed region
+    # (NITROS zero-copy parity — the reference's node receives GPU
+    # buffers). Falls back to direct rendering if file IO is unavailable.
     depths, poses = [], []
-    for k in range(n_frames):
-        T = jnp.asarray(orbit_pose(2 * np.pi * k / n_frames, radius=1.5))
-        depth = render_depth(scene, camera, T)
-        depth.block_until_ready()
-        depths.append(depth)
-        poses.append(T)
+    try:
+        from pathlib import Path
+
+        from isaac_ros_nvblox_tpu.datasets.replica import ReplicaDataLoader
+        from isaac_ros_nvblox_tpu.datasets.replica_writer import (
+            write_replica_sequence)
+        root = Path(__file__).resolve().parent / ".bench_replica"
+        marker = root / f"ok_{n_frames}_{camera.width}x{camera.height}"
+        if not marker.exists():
+            write_replica_sequence(root, scene, camera, n_frames=n_frames,
+                                   orbit_radius=1.5)
+            marker.touch()
+        loader = ReplicaDataLoader(root, max_frames=n_frames)
+        for frame in loader:
+            depths.append(jnp.asarray(frame.depth, jnp.float32))
+            poses.append(jnp.asarray(frame.T_L_C, jnp.float32))
+        assert len(depths) == n_frames
+    except Exception:  # pragma: no cover - IO-less environments
+        depths, poses = [], []
+        for k in range(n_frames):
+            T = jnp.asarray(orbit_pose(2 * np.pi * k / n_frames, radius=1.5))
+            depths.append(render_depth(scene, camera, T))
+            poses.append(T)
     depths = jnp.stack(depths)
     poses = jnp.stack(poses)
+    depths.block_until_ready()
 
     # Parity with the reference's operational config: nvblox_base.yaml:76
     # runs projective integration to 5.0 m (the library default is 7.0 m).
