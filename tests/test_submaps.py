@@ -159,3 +159,43 @@ def test_submap_fusion_corrects_drift():
     device_io.update_mesh_layer(fused_good)
     v, c, t = fused_good.mesh_layer.as_arrays()
     assert len(t) > 50
+
+
+def test_allgather_submaps_single_process_identity():
+    """allgather_submaps on one process must reproduce the collection:
+    same anchors, same TSDF mass, and the odometry chain reconstructed
+    from the gathered anchors (the multi-process path is exercised for
+    real in tests/test_distributed.py)."""
+    import jax.numpy as jnp
+
+    from isaac_ros_nvblox_tpu.parallel.distributed import allgather_submaps
+
+    col = SubmapCollection(_make_mapper, SubmapParams(max_translation_m=0.4,
+                                                      max_rotation_rad=3.0))
+    for k in range(3):
+        T = orbit_pose(2 * np.pi * k / 6, radius=1.0, height=1.0)
+        depth = render_depth(SCENE, CAM, jnp.asarray(T))
+        col.integrate_depth(np.asarray(depth), np.asarray(T), CAM)
+    assert col.num_submaps >= 2
+    n = col.num_submaps
+    w_before = [float(jnp.sum(m.channels["tsdf_weight"]))
+                for m in col.mappers]
+
+    g = allgather_submaps(col)
+    assert g.num_submaps == n
+    assert len(g.graph.factors) == n - 1   # odometry chain reconstructed
+    for k in range(n):
+        np.testing.assert_allclose(g.T_W_S_est[k], col.T_W_S_est[k],
+                                   atol=1e-6)
+        assert abs(float(jnp.sum(g.mappers[k].channels["tsdf_weight"]))
+                   - w_before[k]) < 1e-3
+        assert g.mappers[k].block_count() == col.mappers[k].block_count()
+    for k, f in enumerate(g.graph.factors):
+        ref = np.linalg.inv(np.asarray(col.T_W_S_est[k], np.float64)) \
+            @ np.asarray(col.T_W_S_est[k + 1], np.float64)
+        np.testing.assert_allclose(f.T_i_j, ref.astype(np.float32),
+                                   atol=1e-5)
+    # The gathered collection optimizes and fuses like the original.
+    g.optimize(iters=3)
+    fused = g.fuse()
+    assert fused.block_count() > 0
