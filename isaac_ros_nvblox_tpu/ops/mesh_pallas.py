@@ -92,6 +92,29 @@ def _make_kernel(with_color: bool, min_weight: float):
             table_s = outs[1]
         i = pl.program_id(0)
 
+        # Whole-program skip: valid is pre-masked by the XLA surface-crossing
+        # filter, so entire programs of non-crossing/padding blocks (the
+        # common case — surface blocks are a 2D subset of the 3D dirty set)
+        # pay only the sentinel writes, not the MC math.
+        nv = valid_ref[i * NB]
+        for j in range(1, NB):
+            nv = nv + valid_ref[i * NB + j]
+
+        @pl.when(nv == 0)
+        def _():
+            for c in range(3):
+                vout_ref[:, c] = jnp.full((NB, K_PAD, V), SENTINEL,
+                                          jnp.bfloat16)
+            if with_color:
+                for c in range(3):
+                    cout_ref[:, c] = jnp.zeros((NB, K_PAD, V), jnp.bfloat16)
+
+        @pl.when(nv > 0)
+        def _():
+            _mc_body(valid_ref, tt_ref, ch_refs, table_s, vout_ref,
+                     cout_ref if with_color else None, i)
+
+    def _mc_body(valid_ref, tt_ref, ch_refs, table_s, vout_ref, cout_ref, i):
         lane = jax.lax.broadcasted_iota(jnp.int32, (NB, V), 1)
         mx = (lane // 64) == 7
         my = ((lane // 8) % 8) == 7
@@ -278,6 +301,20 @@ def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
     # Halo rows materialized by XLA ROW gathers -> dense (N, 8, V) inputs.
     d_rows = tsdf_rows[safe]                 # (N, 8, V)
     w_rows = w_pad[w_idx]
+
+    # Surface-crossing pre-filter (computed from the already-gathered halo
+    # rows, ~free next to the kernel): a block can only emit triangles if
+    # its 8-row neighborhood holds BOTH a negative and a non-negative TSDF
+    # value among min_weight-observed voxels. Non-crossing blocks keep
+    # their batch position — their sentinel output still clears any stale
+    # mesh-layer entry — but the kernel skips them, and a program whose NB
+    # blocks are all skipped bypasses the whole MC body (surface blocks are
+    # a 2D subset of the 3D dirty set, so most programs skip).
+    w_ok = w_rows >= jnp.float32(min_weight)
+    has_neg = jnp.any(w_ok & (d_rows < 0.0), axis=(1, 2))
+    has_pos = jnp.any(w_ok & (d_rows >= 0.0), axis=(1, 2))
+    valid = valid * (has_neg & has_pos).astype(valid.dtype)
+
     inputs = [jnp.asarray(TT), d_rows, w_rows]
     if with_color:
         crr, cgg, cbb = color_rows
