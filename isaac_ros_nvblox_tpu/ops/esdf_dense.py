@@ -146,15 +146,84 @@ def _pass_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
             acc[ll * Sp + Hb:ll * Sp + Hb + Sb]
 
 
+def _binary_steps(band: int):
+    """Log-doubling shift schedule: powers of two whose subset sums reach
+    every |k| <= 2^{m+1}-1 >= band."""
+    steps = [1]
+    while 2 * steps[-1] - 1 < band:
+        steps.append(2 * steps[-1])
+    return tuple(steps)
+
+
+def _pass1_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
+                  m: int, NL: int):
+    """First-pass specialization: input rows are exactly {0, INF} (site
+    seeds), so the parabola min-plus equals (L1 distance to the nearest
+    site)^2 — and L1 min-plus LOG-DOUBLES (the |k| kernel is min-plus
+    decomposable; the k^2 kernel is not): after steps s = 1,2,4,...,
+    acc[i] = min_{|k| <= 2^{m+1}-1} in[i+k] + |k|. 2*log2(band) masked
+    shifts replace 2*band candidate adds.
+
+    Exactness: the final `where(acc <= band, acc^2, INF)` reproduces the
+    banded kernel's output bit-for-bit — distances beyond `band` map to
+    INF either way — and also squashes cross-line leakage (the doubling
+    reach 2^{m+1}-1 can exceed the Hb-block halo, but any value crossing
+    the >= band-voxel INF gap carries acc > band).
+    """
+    L = in_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+    ls = (lane // m) % 8
+
+    inf_pad = jnp.full((_EP, V), INF)
+    c_ref[0, :_EP] = inf_pad
+    c_ref[0, _EP + L:] = inf_pad
+
+    acc = in_ref[:]
+    for s in _binary_steps(band):
+        a, b = s // 8, s % 8
+        c_ref[0, _EP:_EP + L] = acc
+        # Value at scan coord +s: row +a lanes ls < 8-b (lane shift +b*m),
+        # else row +a+1 (lane wrap -(8-b)*m) — the banded kernel's carry
+        # construction, applied to the CURRENT accumulator.
+        rows_a = c_ref[0, _EP + a:_EP + a + L]
+        if b:
+            r_b = pltpu.roll(rows_a, (V - b * m) % V, axis=1)
+            r_pb = pltpu.roll(c_ref[0, _EP + a + 1:_EP + a + 1 + L],
+                              ((8 - b) * m) % V, axis=1)
+            plus = jnp.where(ls < 8 - b, r_b, r_pb)
+        else:
+            plus = rows_a
+        # Value at scan coord -s: row -a lanes ls >= b, else row -a-1.
+        rows_ma = c_ref[0, _EP - a:_EP - a + L]
+        if b:
+            l_b = pltpu.roll(rows_ma, (b * m) % V, axis=1)
+            l_pb = pltpu.roll(c_ref[0, _EP - a - 1:_EP - a - 1 + L],
+                              (V - (8 - b) * m) % V, axis=1)
+            minus = jnp.where(ls >= b, l_b, l_pb)
+        else:
+            minus = rows_ma
+        acc = jnp.minimum(acc, jnp.minimum(plus, minus) + np.float32(s))
+
+    sq = jnp.where(acc <= np.float32(band), acc * acc, INF)
+    Sp = L // NL
+    for ll in range(NL):
+        out_ref[ll * Sb:(ll + 1) * Sb] = \
+            sq[ll * Sp + Hb:ll * Sp + Hb + Sb]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_lines", "Sb", "band", "axis",
-                                    "interpret"))
+                                    "binary_input", "interpret"))
 def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
+                        binary_input: bool = False,
                         interpret: bool = False) -> jnp.ndarray:
     """Banded min-plus over block-major rows.
 
     rows: f32[n_lines * line_rows(Sb, band), 512], halo/pad rows = INF.
-    Returns f32[n_lines * Sb, 512] (compact: halo rows removed).
+    binary_input: rows are {0, INF} site seeds (every solve's FIRST pass)
+    — dispatches the log-doubling L1 kernel (bit-identical output, ~2x
+    fewer VPU ops at band 40) when the doubling row-reach fits the edge
+    pad. Returns f32[n_lines * Sb, 512] (compact: halo rows removed).
     """
     Hb = halo_blocks(band)
     Sp = line_rows(Sb, band)
@@ -165,8 +234,15 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
     if n_pad != n_lines:
         rows = jnp.concatenate(
             [rows, jnp.full(((n_pad - n_lines) * Sp, V), INF, rows.dtype)])
-    kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
-                             NL=NL)
+    use_binary = binary_input and (_binary_steps(band)[-1] // 8 + 1) <= _EP
+    if use_binary:
+        kern = functools.partial(_pass1_kernel, Sb=Sb, Hb=Hb, band=band,
+                                 m=m, NL=NL)
+        scratch = [pltpu.VMEM((1, NL * Sp + 2 * _EP, V), jnp.float32)]
+    else:
+        kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
+                                 NL=NL)
+        scratch = [pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)]
     out = pl.pallas_call(
         kern,
         grid=(n_grid,),
@@ -175,7 +251,7 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
         out_specs=pl.BlockSpec((NL * Sb, V), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad * Sb, V), rows.dtype),
-        scratch_shapes=[pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(rows)
     return out[:n_lines * Sb]
@@ -291,7 +367,8 @@ def esdf_from_sites_dense(is_site, block_index_of_slot, alloc_count,
                        g0[jnp.clip(slot_of_row, 0, cap - 1)], INF)
 
     out_x = edt_pass_blockmajor(rows_x, n_lines=n_lines_x, Sb=Sx, band=band,
-                                axis=0, interpret=interpret)
+                                axis=0, binary_input=True,
+                                interpret=interpret)
     rows_y = _repad(out_x, dims_b, 0, 1, band)
     n_lines_y, Sy = _line_dims(dims_b, 1)
     out_y = edt_pass_blockmajor(rows_y, n_lines=n_lines_y, Sb=Sy, band=band,
@@ -363,7 +440,8 @@ def esdf_2d_from_sites(is_site, voxel_z_ok, block_index_of_slot, alloc_count,
     rows_x = rows_x.at[row_x].min(g0, mode="drop")
 
     out_x = edt_pass_blockmajor(rows_x, n_lines=n_lines_x, Sb=Sx, band=band,
-                                axis=0, interpret=interpret)
+                                axis=0, binary_input=True,
+                                interpret=interpret)
     rows_y = _repad(out_x, dims3, 0, 1, band)
     n_lines_y, Sy = _line_dims(dims3, 1)
     out_y = edt_pass_blockmajor(rows_y, n_lines=n_lines_y, Sb=Sy, band=band,

@@ -321,6 +321,7 @@ class ShardedDeviceMapper:
 
             out_x = ed.edt_pass_blockmajor(
                 rows_x, n_lines=n_lines_x, Sb=Sx, band=band, axis=0,
+                binary_input=True,
                 interpret=jax.default_backend() != "tpu")
             rows_y = ed._repad(out_x, dims_b, 0, 1, band)
             n_lines_y, Sy = ed._line_dims(dims_b, 1)
