@@ -129,8 +129,28 @@ def scan_kernel_only(depths, poses, slots, bidx):
     return dist
 
 
+def scan_color(depths, poses, slots, bidx):
+    """Color fusion cost on a fixed view batch (XLA element-gather path)."""
+    from isaac_ros_nvblox_tpu.ops.color import integrate_color_planar
+    dist = jnp.zeros((cfg.capacity, 512), jnp.float32)
+    wgt = jnp.full((cfg.capacity, 512), 1.0, jnp.float32)
+    ch = [jnp.zeros((cfg.capacity, 512), jnp.float32) for _ in range(4)]
+    color = jnp.full(depths.shape[1:] + (3,), 128.0, jnp.float32)
+
+    def step(carry, xs):
+        r, g, b, cw = carry
+        d, T = xs
+        r, g, b, cw = integrate_color_planar(
+            r, g, b, cw, dist, wgt, slots, bidx, color + d[0, 0] * 0.0,
+            d, T, camera=CAM, voxel_size_m=VOX, params=PARAMS)
+        return (r, g, b, cw), ()
+    (r, g, b, cw), _ = jax.lax.scan(step, tuple(ch), (depths, poses))
+    return r
+
+
 def main():
-    stages = sys.argv[1:] or ["empty", "view", "view_alloc", "full", "kernel"]
+    stages = sys.argv[1:] or ["empty", "view", "view_alloc", "full",
+                              "kernel", "color"]
     print("device:", jax.devices()[0], flush=True)
     if "empty" in stages:
         timeit("empty scan", scan_empty, depths, poses)
@@ -140,8 +160,8 @@ def main():
         timeit("view+alloc", scan_view_alloc, depths, poses)
     if "full" in stages:
         timeit("full fused (pallas)", scan_full, depths, poses)
-    if "kernel" in stages:
-        # Kernel with a fixed realistic batch (blocks actually in view).
+    if "kernel" in stages or "color" in stages:
+        # Fixed realistic batch (blocks actually in view).
         grid, origin = view_ops.touched_block_grid(
             depths[0], poses[0], camera=CAM, voxel_size_m=VOX,
             max_distance_m=5.0, truncation_m=TRUNC, subsample=1)
@@ -149,8 +169,12 @@ def main():
         state, slots, bidx, nv = wg.allocate_and_batch(
             state, grid, origin, max_blocks=MAXB)
         print("in-view blocks:", int(nv), flush=True)
-        timeit("kernel only (fixed batch)", scan_kernel_only,
-               depths, poses, slots, bidx)
+        if "kernel" in stages:
+            timeit("kernel only (fixed batch)", scan_kernel_only,
+                   depths, poses, slots, bidx)
+        if "color" in stages:
+            timeit("color fuse (fixed batch)", scan_color,
+                   depths, poses, slots, bidx)
 
 
 if __name__ == "__main__":
