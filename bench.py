@@ -68,7 +68,7 @@ def main():
     # loader; frames are uploaded to the device before the timed region
     # (NITROS zero-copy parity — the reference's node receives GPU
     # buffers). Falls back to direct rendering if file IO is unavailable.
-    depths, poses = [], []
+    depths, poses, colors = [], [], []
     try:
         from pathlib import Path
 
@@ -85,15 +85,19 @@ def main():
         for frame in loader:
             depths.append(jnp.asarray(frame.depth, jnp.float32))
             poses.append(jnp.asarray(frame.T_L_C, jnp.float32))
+            colors.append(jnp.asarray(frame.color, jnp.uint8))
         assert len(depths) == n_frames
     except Exception:  # pragma: no cover - IO-less environments
-        depths, poses = [], []
+        from isaac_ros_nvblox_tpu.models.scene import render_color
+        depths, poses, colors = [], [], []
         for k in range(n_frames):
             T = jnp.asarray(orbit_pose(2 * np.pi * k / n_frames, radius=1.5))
             depths.append(render_depth(scene, camera, T))
             poses.append(T)
+            colors.append(render_color(scene, camera, T).astype(jnp.uint8))
     depths = jnp.stack(depths)
     poses = jnp.stack(poses)
+    colors = jnp.stack(colors)
     depths.block_until_ready()
 
     # Parity with the reference's operational config: nvblox_base.yaml:76
@@ -106,7 +110,7 @@ def main():
         voxel_size_m=voxel_size, params=params,
         world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
                               origin_block=(-32, -32, -8)),
-        enable_color=False, enable_esdf=True,
+        enable_color=True, enable_esdf=True,
         max_blocks_per_frame=2048)
 
     # Warmup: build the map once (fixes the allocated AABB -> static ESDF
@@ -118,12 +122,15 @@ def main():
     # overhead; a long in-device loop is the honest equivalent here.)
     depths_r = jnp.concatenate([depths] * 4)
     poses_r = jnp.concatenate([poses] * 4)
+    colors_r = jnp.concatenate([colors] * 4)
     n_steps = int(depths_r.shape[0])
     _barrier(mapper.replay_frames(depths_r, poses_r, camera))
     region = mapper.esdf_region()
     _barrier(mapper.replay_frames(depths_r, poses_r, camera, esdf_every=1,
                                   esdf_region=region))
     _barrier(mapper.replay_frames(depths_r, poses_r, camera, mesh_every=1))
+    _barrier(mapper.replay_frames(depths_r, poses_r, camera,
+                                  colors=colors_r, color_every=1))
     n_blocks = mapper.block_count()
 
     def timed(reps=3, **kw):
@@ -138,10 +145,13 @@ def main():
     tsdf_ms = timed()
     esdf_ms = max(timed(esdf_every=1, esdf_region=region) - tsdf_ms, 0.0)
     mesh_ms = max(timed(mesh_every=1) - tsdf_ms, 0.0)
+    color_ms = max(timed(colors=colors_r, color_every=1) - tsdf_ms, 0.0)
 
     # Pipeline at the reference's operational cadence (nvblox_base.yaml:
-    # depth 40 Hz, ESDF 10 Hz, mesh 5 Hz -> ESDF every 4th, mesh every 8th).
-    t_pipe = timed(esdf_every=4, esdf_region=region, mesh_every=8)
+    # depth 40 Hz, color 5 Hz, ESDF 10 Hz, mesh 5 Hz -> color/mesh every
+    # 8th, ESDF every 4th).
+    t_pipe = timed(esdf_every=4, esdf_region=region, mesh_every=8,
+                   colors=colors_r, color_every=8)
     pipeline_fps = 1000.0 / t_pipe
 
     # Incremental ESDF (the node's online path): dirty-region updates,
@@ -233,6 +243,7 @@ def main():
         "esdf_incremental_ms": round(esdf_incr_ms, 3),
         "node_tick_ms": round(node_tick_ms, 3),
         "mesh_ms": round(mesh_ms, 3),
+        "color_ms": round(color_ms, 3),
         "tsdf_mae_m": round(tsdf_mae, 4),
         "esdf_mae_m": round(esdf_mae, 4),
         "allocated_blocks": n_blocks,

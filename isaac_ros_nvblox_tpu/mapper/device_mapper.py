@@ -466,18 +466,19 @@ def _bucket_blocks(n: int, mult: int = 8) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("camera", "voxel_size_m", "params",
-                                    "max_blocks", "subsample"),
+                                    "max_blocks", "subsample", "use_pallas"),
                    donate_argnums=(0, 1, 2, 3, 4))
 def _integrate_color_fused(color_r, color_g, color_b, color_weight, dirty,
                            tsdf_distance, tsdf_weight, state, color_image,
                            depth, T_L_C, *, camera: Camera,
                            voxel_size_m: float, params, max_blocks: int,
-                           subsample: int):
+                           subsample: int, use_pallas: bool = False):
     """color view batch -> planar color fusion -> mesh-dirty, one program.
 
     Batch = blocks in the color frustum (no allocation): a max-distance
-    pseudo-depth covers the whole view."""
-    from isaac_ros_nvblox_tpu.ops.color import integrate_color_planar
+    pseudo-depth covers the whole view. `use_pallas` routes the fusion
+    through the one-hot-sampling kernel (ops/color_pallas.py) — the XLA
+    path's per-voxel element gathers cost ~10+ ms/frame on TPU."""
     grid, origin = view_ops.touched_block_grid(
         jnp.full((camera.height, camera.width),
                  params.max_integration_distance_m, jnp.float32),
@@ -486,10 +487,19 @@ def _integrate_color_fused(color_r, color_g, color_b, color_weight, dirty,
         truncation_m=params.truncation_m(voxel_size_m), subsample=subsample)
     slots, bidx, _ = wg.view_batch(state, grid, origin,
                                    max_blocks=max_blocks)
-    r, g, b, cw = integrate_color_planar(
-        color_r, color_g, color_b, color_weight, tsdf_distance, tsdf_weight,
-        slots, bidx, color_image, depth, T_L_C, camera=camera,
-        voxel_size_m=voxel_size_m, params=params)
+    if use_pallas:
+        from isaac_ros_nvblox_tpu.ops.color_pallas import (
+            integrate_color_pallas)
+        r, g, b, cw = integrate_color_pallas(
+            color_r, color_g, color_b, color_weight, tsdf_distance,
+            tsdf_weight, slots, bidx, color_image, depth, T_L_C,
+            camera=camera, voxel_size_m=voxel_size_m, params=params)
+    else:
+        from isaac_ros_nvblox_tpu.ops.color import integrate_color_planar
+        r, g, b, cw = integrate_color_planar(
+            color_r, color_g, color_b, color_weight, tsdf_distance,
+            tsdf_weight, slots, bidx, color_image, depth, T_L_C,
+            camera=camera, voxel_size_m=voxel_size_m, params=params)
     dirty = dirty.at[slots].set(True, mode="drop")
     return r, g, b, cw, dirty
 
@@ -497,22 +507,23 @@ def _integrate_color_fused(color_r, color_g, color_b, color_weight, dirty,
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "voxel_size_m", "params", "max_blocks",
-                     "use_pallas", "esdf_every", "mesh_every", "esdf_dims",
-                     "band", "esdf_site_cfg", "mesh_min_weight",
+                     "use_pallas", "esdf_every", "mesh_every", "color_every",
+                     "esdf_dims", "band", "esdf_site_cfg", "mesh_min_weight",
                      "mesh_max_blocks", "interpret"),
     donate_argnums=(0, 1, 2, 3))
-def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs,
+def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs, colors,
                  esdf_origin, *, camera: Camera, voxel_size_m: float, params,
                  max_blocks: int, use_pallas: bool, esdf_every: int,
-                 mesh_every: int, esdf_dims, band: int, esdf_site_cfg,
-                 mesh_min_weight: float, mesh_max_blocks: int,
+                 mesh_every: int, color_every: int, esdf_dims, band: int,
+                 esdf_site_cfg, mesh_min_weight: float, mesh_max_blocks: int,
                  interpret: bool):
     """Whole replay pipeline in ONE compiled program (lax.scan over frames).
 
     Mirrors the reference Fuser's replay loop (fuser_node.cpp:202-315):
-    integrate every frame, ESDF every `esdf_every` frames, mesh every
-    `mesh_every`. Mesh output is reduced to a digest so the scan carry
-    stays small; callers re-mesh for real outputs.
+    integrate every frame, color every `color_every`, ESDF every
+    `esdf_every` frames, mesh every `mesh_every`. Mesh output is reduced
+    to a digest so the scan carry stays small; callers re-mesh for real
+    outputs.
     """
     n = depths.shape[0]
 
@@ -531,12 +542,29 @@ def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs,
 
     def step(carry, inp):
         st, ch, dt, edt, digest = carry
-        depth, T, k = inp
+        depth, T, k, color = inp
         st, d, w, dt, edt = _integrate_frame_fused(
             st, ch["tsdf_distance"], ch["tsdf_weight"], dt, edt, depth, T,
             camera=camera, voxel_size_m=voxel_size_m, params=params,
             max_blocks=max_blocks, use_pallas=use_pallas)
         ch = dict(ch, tsdf_distance=d, tsdf_weight=w)
+        if color_every > 0 and "color_r" in channels:
+            def color_branch(args):
+                st, ch, dt, color, depth, T = args
+                return _integrate_color_fused(
+                    ch["color_r"], ch["color_g"], ch["color_b"],
+                    ch["color_weight"], dt, ch["tsdf_distance"],
+                    ch["tsdf_weight"], st, color.astype(jnp.float32), depth,
+                    T, camera=camera, voxel_size_m=voxel_size_m,
+                    params=params, max_blocks=max_blocks, subsample=1,
+                    use_pallas=use_pallas)
+
+            r, g, b, cw, dt = jax.lax.cond(
+                (k + 1) % color_every == 0, color_branch,
+                lambda a: (a[1]["color_r"], a[1]["color_g"],
+                           a[1]["color_b"], a[1]["color_weight"], a[2]),
+                (st, ch, dt, color, depth, T))
+            ch = dict(ch, color_r=r, color_g=g, color_b=b, color_weight=cw)
         if esdf_every > 0 and "esdf_sq_dist" in ch:
             sq, ins, obs = jax.lax.cond(
                 (k + 1) % esdf_every == 0,
@@ -579,7 +607,8 @@ def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs,
 
     ks = jnp.arange(n, dtype=jnp.int32)
     carry, _ = jax.lax.scan(step, (state, channels, dirty, esdf_dirty,
-                                   jnp.float32(0.0)), (depths, T_L_Cs, ks))
+                                   jnp.float32(0.0)),
+                            (depths, T_L_Cs, ks, colors))
     return carry
 
 
@@ -926,8 +955,19 @@ class DeviceMapper:
             return
         T_L_C = jnp.asarray(T_L_C, jnp.float32)
         color_image = jnp.asarray(color_image)
-        depth = (jnp.zeros((1, 1), jnp.float32) if depth is None
-                 else jnp.asarray(depth, jnp.float32))
+        # The Pallas color kernel needs an occlusion depth at the color
+        # camera's resolution; an all-zero image means "skip occlusion"
+        # (same convention as the XLA path).
+        use_pallas = (jax.default_backend() == "tpu"
+                      if self.use_pallas_integrate is None
+                      else self.use_pallas_integrate)
+        if depth is None:
+            shape = ((camera.height, camera.width) if use_pallas else (1, 1))
+            depth = jnp.zeros(shape, jnp.float32)
+        else:
+            depth = jnp.asarray(depth, jnp.float32)
+            if depth.shape != (camera.height, camera.width):
+                use_pallas = False  # unaligned RGB-D: XLA fallback
         r, g, b, cw, self.dirty = _integrate_color_fused(
             self.channels["color_r"], self.channels["color_g"],
             self.channels["color_b"], self.channels["color_weight"],
@@ -936,7 +976,8 @@ class DeviceMapper:
             T_L_C, camera=camera, voxel_size_m=self.voxel_size_m,
             params=self.params.projective,
             max_blocks=self.max_blocks_per_frame,
-            subsample=int(self.params.view.raycast_subsampling_factor))
+            subsample=int(self.params.view.raycast_subsampling_factor),
+            use_pallas=use_pallas)
         self.channels["color_r"] = r
         self.channels["color_g"] = g
         self.channels["color_b"] = b
@@ -1121,19 +1162,28 @@ class DeviceMapper:
 
     def replay_frames(self, depths, T_L_Cs, camera: Camera, *,
                       esdf_every: int = 0, mesh_every: int = 0,
+                      colors=None, color_every: int = 0,
                       esdf_region=None, mesh_max_blocks: int = 2048):
         """Replay N depth frames in ONE device program (lax.scan).
 
         The offline-replay / benchmarking path (parity: the reference
         Fuser's dataset loop, fuser_node.cpp:202-315, whose per-component
         times are CUDA-kernel times with no per-frame host overhead).
-        ESDF updates inside the scan solve a fixed region: pass
-        `esdf_region=(origin_blocks, dims_blocks)` covering the replayed
-        extent, or let it default to the current AABB + margin. Returns a
-        scalar digest keeping the mesh work live.
+        `colors` (u8/f32[N, H, W, 3]) + `color_every` add color fusion at
+        the given cadence. ESDF updates inside the scan solve a fixed
+        region: pass `esdf_region=(origin_blocks, dims_blocks)` covering
+        the replayed extent, or let it default to the current AABB +
+        margin. Returns a scalar digest keeping the mesh work live.
         """
         depths = jnp.asarray(depths, jnp.float32)
         T_L_Cs = jnp.asarray(T_L_Cs, jnp.float32)
+        run_color = (color_every > 0 and colors is not None
+                     and "color_r" in self.channels)
+        if run_color:
+            colors = jnp.asarray(colors)
+        else:
+            # Tiny dummy xs leaf (static color_every=0 -> branch untraced).
+            colors = jnp.zeros((depths.shape[0], 1, 1, 3), jnp.uint8)
         use_pallas = (jax.default_backend() == "tpu"
                       if self.use_pallas_integrate is None
                       else self.use_pallas_integrate)
@@ -1147,12 +1197,14 @@ class DeviceMapper:
             origin, dims = np.zeros(3, np.int32), (8, 8, 8)
         state, channels, dirty, edirty, digest = _replay_scan(
             self.state, self.channels, self.dirty, self.esdf_dirty,
-            depths, T_L_Cs, jnp.asarray(origin, jnp.int32),
+            depths, T_L_Cs, colors, jnp.asarray(origin, jnp.int32),
             camera=camera, voxel_size_m=self.voxel_size_m,
             params=self.params.projective,
             max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas,
             esdf_every=int(esdf_every) if run_esdf else 0,
-            mesh_every=int(mesh_every), esdf_dims=tuple(int(d) for d in dims),
+            mesh_every=int(mesh_every),
+            color_every=int(color_every) if run_color else 0,
+            esdf_dims=tuple(int(d) for d in dims),
             band=self.esdf_band_vox,
             esdf_site_cfg=(float(ep.max_site_distance_vox),
                            float(ep.min_weight)),
