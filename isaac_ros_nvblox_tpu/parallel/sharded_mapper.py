@@ -210,6 +210,14 @@ class ShardedDeviceMapper:
 
             def run(args):
                 r, g, b, cw = args
+                if jax.default_backend() == "tpu" and depth.shape == (
+                        camera.height, camera.width):
+                    from isaac_ros_nvblox_tpu.ops.color_pallas import (
+                        integrate_color_pallas)
+                    return integrate_color_pallas(
+                        r, g, b, cw, tsdf_d, tsdf_w, slots, bidx, color,
+                        depth, T_L_C, camera=camera, voxel_size_m=vs,
+                        params=p)
                 return integrate_color_planar(
                     r, g, b, cw, tsdf_d, tsdf_w, slots, bidx, color, depth,
                     T_L_C, camera=camera, voxel_size_m=vs, params=p)
