@@ -219,6 +219,7 @@ def update_mesh_layer(m, max_blocks: int = 2048) -> List[Tuple[int, int, int]]:
     cap = m.capacity
     meshed = []
     if use_pallas:
+        from isaac_ros_nvblox_tpu.native import compact_mesh_blocks
         from isaac_ros_nvblox_tpu.ops.mesh_pallas import local_to_world_verts
         verts, colors, mask, bidx, slots = m.update_mesh_dirty_device(
             max_blocks=max_blocks, use_pallas=True, return_slots=True)
@@ -229,18 +230,18 @@ def update_mesh_layer(m, max_blocks: int = 2048) -> List[Tuple[int, int, int]]:
                 if colors is not None else None)
         bidx_np = np.asarray(bidx)
         slots_np = np.asarray(slots)
-        pts = world.transpose(0, 2, 3, 1)  # [N,16,512,3]
-        if cols is not None:
-            cols = cols.transpose(0, 2, 3, 1)
+        # Native CSR compaction (one C call over the whole batch) replaces
+        # the old per-block numpy mask-indexing loop — this runs at publish
+        # cadence and the per-block Python cost dominated it.
+        offsets, v_flat, c_flat = compact_mesh_blocks(world, cols, mask_np)
         for i in range(bidx_np.shape[0]):
             if slots_np[i] >= cap:
                 continue  # padding row
             key = tuple(int(v) for v in bidx_np[i])
-            mk = mask_np[i].T.reshape(-1)      # [512*16] cube-major
-            v = pts[i].transpose(1, 0, 2).reshape(-1, 3)[mk].reshape(-1, 3, 3)
-            if cols is not None and v.shape[0]:
-                c = cols[i].transpose(1, 0, 2).reshape(-1, 3)[mk] \
-                    .reshape(-1, 3, 3)
+            a, b = int(offsets[i]), int(offsets[i + 1])
+            v = v_flat[a:b].reshape(-1, 3, 3)
+            if c_flat is not None and v.shape[0]:
+                c = c_flat[a:b].reshape(-1, 3, 3)
             else:
                 c = np.full_like(v, 190.0)
             m.mesh_layer.update_block(key, v, c)

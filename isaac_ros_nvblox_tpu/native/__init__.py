@@ -38,6 +38,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.compact_triangles.restype = ctypes.c_int64
         lib.weld_mesh.restype = ctypes.c_int64
         lib.write_mesh_ply.restype = ctypes.c_int
+        lib.mesh_block_offsets.restype = None
+        lib.mesh_block_compact.restype = None
         _lib = lib
     except (OSError, subprocess.SubprocessError) as e:
         log.warning("native mesh library unavailable (%s); using numpy", e)
@@ -73,6 +75,54 @@ def compact_triangles(verts: np.ndarray, colors: np.ndarray,
         _ptr(valid, ctypes.c_uint8), ctypes.c_int64(n),
         _ptr(out_v, ctypes.c_float), _ptr(out_c, ctypes.c_float))
     return out_v, out_c
+
+
+def compact_mesh_blocks(verts: np.ndarray, colors: Optional[np.ndarray],
+                        mask: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray,
+                                   Optional[np.ndarray]]:
+    """Per-block CSR compaction of device triangle soup.
+
+    verts: f32[N, 3, K, V] xyz-major components; colors: same or None;
+    mask: bool/u8[N, K, V]. Returns (offsets i64[N+1], verts f32[total, 3],
+    colors f32[total, 3] | None) with block i's vertices at
+    [offsets[i]:offsets[i+1]] in the same v-major order as the numpy path.
+    """
+    verts = np.ascontiguousarray(verts, np.float32)
+    mask_u8 = np.ascontiguousarray(mask.astype(np.uint8))
+    N, K, V = mask_u8.shape
+    lib = _load()
+    if lib is None:
+        # v-major order: transpose (K, V) -> (V, K) before flattening.
+        m = mask_u8.transpose(0, 2, 1).reshape(N, -1).astype(bool)
+        offsets = np.zeros(N + 1, np.int64)
+        np.cumsum(m.sum(1), out=offsets[1:])
+        pts = verts.transpose(0, 3, 2, 1).reshape(N, -1, 3)  # [N, V*K, 3]
+        out_v = pts[m]
+        out_c = None
+        if colors is not None:
+            cols = np.ascontiguousarray(colors, np.float32)
+            out_c = cols.transpose(0, 3, 2, 1).reshape(N, -1, 3)[m]
+        return offsets, out_v, out_c
+    offsets = np.empty(N + 1, np.int64)
+    lib.mesh_block_offsets(_ptr(mask_u8, ctypes.c_uint8),
+                           ctypes.c_int64(N), ctypes.c_int64(K),
+                           ctypes.c_int64(V), _ptr(offsets, ctypes.c_int64))
+    total = int(offsets[-1])
+    out_v = np.empty((total, 3), np.float32)
+    has_c = colors is not None
+    out_c = np.empty((total, 3), np.float32) if has_c else None
+    cols = (np.ascontiguousarray(colors, np.float32) if has_c
+            else np.zeros((1,), np.float32))
+    lib.mesh_block_compact(
+        _ptr(verts, ctypes.c_float),
+        _ptr(cols, ctypes.c_float) if has_c else None,
+        _ptr(mask_u8, ctypes.c_uint8), ctypes.c_int64(N), ctypes.c_int64(K),
+        ctypes.c_int64(V), _ptr(offsets, ctypes.c_int64),
+        _ptr(out_v, ctypes.c_float),
+        _ptr(out_c, ctypes.c_float) if has_c else
+        _ptr(np.zeros((1,), np.float32), ctypes.c_float))
+    return offsets, out_v, out_c
 
 
 def weld_mesh(verts: np.ndarray, colors: np.ndarray, quantum: float

@@ -100,6 +100,59 @@ int64_t weld_mesh(const float* verts, const float* colors, int64_t n_tris,
 }
 
 // Binary little-endian PLY with vertex colors. Returns 0 on success.
+// Per-block CSR compaction of the device mesh kernel's fixed-capacity
+// triangle soup (role parity: the per-block serialized-mesh packing of
+// layer_publishing.cpp / mesh_conversions.cpp, which the reference keeps
+// in C++ for the same publish-latency reason).
+//
+// verts:  [N, 3, K, V] f32 vertex components (xyz-major planes)
+// colors: [N, 3, K, V] f32 or null
+// mask:   [N, K, V] u8 (1 = slot holds a live triangle vertex)
+// Emission order per block matches the numpy path: v-major, then slot k.
+//
+// Pass 1: offsets[i+1] = live vertices of block i (exclusive prefix sum,
+// offsets[0] = 0, length N+1).
+void mesh_block_offsets(const uint8_t* mask, int64_t N, int64_t K, int64_t V,
+                        int64_t* offsets) {
+  offsets[0] = 0;
+  for (int64_t i = 0; i < N; ++i) {
+    const uint8_t* m = mask + i * K * V;
+    int64_t c = 0;
+    for (int64_t j = 0; j < K * V; ++j) c += m[j] != 0;
+    offsets[i + 1] = offsets[i] + c;
+  }
+}
+
+// Pass 2: pack [total, 3] vertices (+ colors) per block at offsets.
+void mesh_block_compact(const float* verts, const float* colors,
+                        const uint8_t* mask, int64_t N, int64_t K, int64_t V,
+                        const int64_t* offsets, float* out_v, float* out_c) {
+  for (int64_t i = 0; i < N; ++i) {
+    const uint8_t* m = mask + i * K * V;
+    const float* vx = verts + ((i * 3 + 0) * K) * V;
+    const float* vy = verts + ((i * 3 + 1) * K) * V;
+    const float* vz = verts + ((i * 3 + 2) * K) * V;
+    int64_t w = offsets[i];
+    for (int64_t v = 0; v < V; ++v) {
+      for (int64_t k = 0; k < K; ++k) {
+        if (!m[k * V + v]) continue;
+        out_v[w * 3 + 0] = vx[k * V + v];
+        out_v[w * 3 + 1] = vy[k * V + v];
+        out_v[w * 3 + 2] = vz[k * V + v];
+        if (colors != nullptr) {
+          const float* cx = colors + ((i * 3 + 0) * K) * V;
+          const float* cy = colors + ((i * 3 + 1) * K) * V;
+          const float* cz = colors + ((i * 3 + 2) * K) * V;
+          out_c[w * 3 + 0] = cx[k * V + v];
+          out_c[w * 3 + 1] = cy[k * V + v];
+          out_c[w * 3 + 2] = cz[k * V + v];
+        }
+        ++w;
+      }
+    }
+  }
+}
+
 int write_mesh_ply(const char* path, const float* verts,
                    const uint8_t* colors, int64_t n_verts,
                    const int32_t* tris, int64_t n_tris, int has_colors) {

@@ -107,3 +107,39 @@ def test_mesh_updates_are_incremental():
     layer.remove_blocks([key])
     v2, c2, t2 = layer.as_arrays()
     assert t2.shape[0] == total_tris - removed
+
+
+def test_native_mesh_block_compaction():
+    """compact_mesh_blocks (C + numpy fallback) must reproduce the
+    per-block mask-indexing it replaced, in the same v-major slot order."""
+    import isaac_ros_nvblox_tpu.native as native
+
+    rng = np.random.RandomState(0)
+    N, K, V = 7, 16, 512
+    verts = rng.rand(N, 3, K, V).astype(np.float32)
+    cols = rng.rand(N, 3, K, V).astype(np.float32)
+    mask = rng.rand(N, K, V) < 0.05
+    mask[:, 15, :] = False   # pad slot is never live
+
+    off, v, c = native.compact_mesh_blocks(verts, cols, mask)
+    pts = verts.transpose(0, 2, 3, 1)
+    cc = cols.transpose(0, 2, 3, 1)
+    for i in range(N):
+        mk = mask[i].T.reshape(-1)
+        ev = pts[i].transpose(1, 0, 2).reshape(-1, 3)[mk]
+        ec = cc[i].transpose(1, 0, 2).reshape(-1, 3)[mk]
+        a, b = int(off[i]), int(off[i + 1])
+        assert b - a == ev.shape[0]
+        np.testing.assert_array_equal(v[a:b], ev)
+        np.testing.assert_array_equal(c[a:b], ec)
+
+    # The numpy fallback agrees bit-for-bit with the native path.
+    lib_save, tried_save = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, True
+        off2, v2, c2 = native.compact_mesh_blocks(verts, cols, mask)
+    finally:
+        native._lib, native._tried = lib_save, tried_save
+    np.testing.assert_array_equal(off, off2)
+    np.testing.assert_array_equal(v, v2)
+    np.testing.assert_array_equal(c, c2)
