@@ -80,6 +80,30 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
     def _():
         ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
 
+    # Whole-program skip: trailing programs of a part-full batch (padding
+    # slots) pass their rows through untouched instead of running the
+    # sampling loop + fusion math.
+    nv = valid_ref[i * NB]
+    for j in range(1, NB):
+        nv = nv + valid_ref[i * NB + j]
+
+    @pl.when(nv == 0)
+    def _():
+        d_out[:, :] = d_ref[:, :]
+        w_out[:, :] = w_ref[:, :]
+
+    @pl.when(nv > 0)
+    def _():
+        _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
+                   p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref, d_ref, w_ref,
+                   d_out, w_out, tile_scratch, ohu_scratch, meas_scratch, i,
+                   mode)
+
+
+def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
+               p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref, d_ref, w_ref,
+               d_out, w_out, tile_scratch, ohu_scratch, meas_scratch, i,
+               mode: WeightingFunctionType):
     truncation = scal_ref[0]
     max_dist = scal_ref[1]
     max_weight = scal_ref[2]
