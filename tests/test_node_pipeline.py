@@ -148,3 +148,43 @@ def test_mesh_streaming_respects_budget():
     for m in msgs:
         published |= {(b.index.x, b.index.y, b.index.z) for b in m.blocks}
     assert len(published) == total_mesh_blocks
+
+
+def test_late_subscriber_gets_full_mesh_resend():
+    """A subscriber joining after blocks were published must receive the
+    whole current mesh (per-subscriber state, layer_publishing.cpp:545-584)
+    while existing subscribers keep getting only the incremental set."""
+    node, t = _make_node()
+    msgs_a = []
+    node.bus.subscribe("~/mesh", msgs_a.append)
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
+    T = orbit_pose(0.0)
+    depth = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
+    node.add_pose("cam", 0.0, T)
+    node.add_depth_image(depth, CAM, "cam", 0.0)
+    t[0] = 0.01
+    node.tick()
+    # Drain until A holds the full map (default bandwidth is generous).
+    for k in range(10):
+        t[0] = 0.3 + 0.2 * k
+        node.tick()
+    layer = node.multi_mapper.static_mapper.mesh_layer
+    total = set(layer.blocks.keys())
+    assert total
+    seen_a = set()
+    for m in msgs_a:
+        seen_a |= {(b.index.x, b.index.y, b.index.z) for b in m.blocks}
+    assert seen_a == total
+
+    # B joins late: its FIRST message must carry the full current mesh.
+    msgs_b = []
+    node.bus.subscribe("~/mesh", msgs_b.append)
+    n_a = len(msgs_a)
+    t[0] = 10.0
+    node.tick()
+    assert msgs_b, "late subscriber got no mesh"
+    first_b = {(b.index.x, b.index.y, b.index.z) for b in msgs_b[0].blocks}
+    assert first_b == total
+    # A's concurrent message is incremental only (nothing re-meshed).
+    assert len(msgs_a) > n_a
+    assert len(msgs_a[-1].blocks) < len(total)
