@@ -268,6 +268,9 @@ def update_mesh_layer(m, max_blocks: int = 2048) -> List[Tuple[int, int, int]]:
     removed = take_removed_blocks(m)
     if removed:
         m.mesh_layer.remove_blocks(removed)
+    # The removal log is consume-once; record what THIS drain saw so other
+    # consumers (the node's voxel-layer publisher) can forward it too.
+    m.last_removed_keys = removed
     m.last_meshed_keys = meshed
     return meshed
 

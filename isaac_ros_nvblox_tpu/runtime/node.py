@@ -207,6 +207,11 @@ class NvbloxNode:
         self._mesh_streamer = None  # created lazily (needs voxel size)
         self._layer_streamers: Dict[str, object] = {}
         self._layer_sent: Dict[str, Set[Tuple[int, int, int]]] = {}
+        # The device removal log is consume-once but has TWO consumers (the
+        # mesh-layer maintenance and the voxel-layer publisher); whichever
+        # drains it forwards the keys to the other through these sets.
+        self._pending_layer_removals: Set[Tuple[int, int, int]] = set()
+        self._pending_mesh_removals: Set[Tuple[int, int, int]] = set()
         self._camera_frames: List[str] = []
         self._last_stats_print = -float("inf")
         self._bp_counter = 0
@@ -535,6 +540,13 @@ class NvbloxNode:
             self.multi_mapper.update_mesh()
         Rates.tick("node/mesh")
         mesh_layer = static_mapper.mesh_layer
+        # Forward removals this update drained to the voxel-layer publisher,
+        # and apply any the voxel publisher drained first.
+        self._pending_layer_removals.update(
+            getattr(static_mapper, "last_removed_keys", []))
+        if self._pending_mesh_removals:
+            mesh_layer.remove_blocks(list(self._pending_mesh_removals))
+            self._pending_mesh_removals.clear()
         current = set(mesh_layer.blocks.keys())
         # Budgeted incremental publishing (parity: serializeSelectedLayers'
         # bandwidth limit + proximity prioritization) with per-subscriber
@@ -608,7 +620,12 @@ class NvbloxNode:
         if not subscribed:
             return
         updated = set(getattr(m, "last_meshed_keys", []))
-        removed = device_io.take_removed_blocks(m)
+        # Drain the device removal log and merge whatever the mesh path
+        # drained first; forward our drain to the mesh path symmetrically.
+        drained = device_io.take_removed_blocks(m)
+        self._pending_mesh_removals.update(drained)
+        removed = list(set(drained) | self._pending_layer_removals)
+        self._pending_layer_removals.clear()
         # One slot lookup pass for all updated keys (host table-free).
         slot_grid = np.asarray(m.state.slot_grid)
         origin = np.asarray(m.world_config.origin_block)

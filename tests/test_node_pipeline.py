@@ -188,3 +188,39 @@ def test_late_subscriber_gets_full_mesh_resend():
     # A's concurrent message is incremental only (nothing re-meshed).
     assert len(msgs_a) > n_a
     assert len(msgs_a[-1].blocks) < len(total)
+
+
+def test_voxel_layer_publishes_removals_after_clearing():
+    """Blocks freed by radius clearing must surface as removed_blocks on
+    the voxel-layer topic (parity: cleared-block removal messages,
+    layer_publishing.cpp:715-716)."""
+    node, t = _make_node()
+    msgs = []
+    node.bus.subscribe("~/tsdf_layer", msgs.append)
+    node.bus.subscribe("~/mesh", lambda m: None)  # drives re-mesh tracking
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
+    T = orbit_pose(0.0)
+    depth = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
+    node.add_pose("cam", 0.0, T)
+    node.add_depth_image(depth, CAM, "cam", 0.0)
+    t[0] = 0.01
+    node.tick()
+    for k in range(5):   # mesh update + layer publishes
+        t[0] = 0.3 + 0.2 * k
+        node.tick()
+    assert msgs and any(m.blocks for m in msgs)
+    n_before = node.multi_mapper.static_mapper.block_count()
+
+    # Clear everything outside a tiny radius around the camera.
+    node.multi_mapper.static_mapper.clear_outside_radius(
+        np.asarray(T, np.float32)[:3, 3], 0.5)
+    assert node.multi_mapper.static_mapper.block_count() < n_before
+    n_msgs = len(msgs)
+    for k in range(3):
+        t[0] = 2.0 + 0.2 * k
+        node.tick()   # next publishes carry the removal log
+    new_msgs = msgs[n_msgs:]
+    removed = set()
+    for m in new_msgs:
+        removed |= {(i.x, i.y, i.z) for i in m.removed_blocks}
+    assert removed, "no removed_blocks emitted after clearing"
