@@ -212,6 +212,9 @@ class NvbloxNode:
         # drains it forwards the keys to the other through these sets.
         self._pending_layer_removals: Set[Tuple[int, int, int]] = set()
         self._pending_mesh_removals: Set[Tuple[int, int, int]] = set()
+        # Re-meshed keys accumulate here so the voxel-layer publisher never
+        # loses updates when the mesh runs more often than layer publishing.
+        self._pending_layer_updates: Set[Tuple[int, int, int]] = set()
         self._camera_frames: List[str] = []
         self._last_stats_print = -float("inf")
         self._bp_counter = 0
@@ -544,6 +547,8 @@ class NvbloxNode:
         # and apply any the voxel publisher drained first.
         self._pending_layer_removals.update(
             getattr(static_mapper, "last_removed_keys", []))
+        self._pending_layer_updates.update(
+            getattr(static_mapper, "last_meshed_keys", []))
         if self._pending_mesh_removals:
             mesh_layer.remove_blocks(list(self._pending_mesh_removals))
             self._pending_mesh_removals.clear()
@@ -619,7 +624,17 @@ class NvbloxNode:
                       and chs[0] in m.channels]
         if not subscribed:
             return
-        updated = set(getattr(m, "last_meshed_keys", []))
+        updated = set(self._pending_layer_updates)
+        self._pending_layer_updates.clear()
+        if not self.bus.subscriber_ids("~/mesh"):
+            # No mesh consumer drives re-mesh tracking; derive updated
+            # blocks from the device dirty flags directly. Do NOT clear
+            # them (the mesh path owns them): still-dirty blocks re-queue
+            # each publish, which the bandwidth budget rate-limits.
+            dirty = np.asarray(m.dirty)
+            bidx = np.asarray(m.state.block_index_of_slot)
+            updated |= {tuple(int(x) for x in bidx[i])
+                        for i in np.nonzero(dirty)[0]}
         # Drain the device removal log and merge whatever the mesh path
         # drained first; forward our drain to the mesh path symmetrically.
         drained = device_io.take_removed_blocks(m)

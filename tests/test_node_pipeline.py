@@ -224,3 +224,23 @@ def test_voxel_layer_publishes_removals_after_clearing():
     for m in new_msgs:
         removed |= {(i.x, i.y, i.z) for i in m.removed_blocks}
     assert removed, "no removed_blocks emitted after clearing"
+
+
+def test_voxel_layer_publishes_without_mesh_subscriber():
+    """Voxel-layer streaming must not depend on someone consuming ~/mesh:
+    with no mesh subscriber, updated blocks derive from the device dirty
+    flags (reference: layers serialize independently of meshing)."""
+    node, t = _make_node()
+    msgs = []
+    node.bus.subscribe("~/tsdf_layer", msgs.append)
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.5),))
+    T = orbit_pose(0.0)
+    depth = np.asarray(render_depth(scene, CAM, jnp.asarray(T)))
+    node.add_pose("cam", 0.0, T)
+    node.add_depth_image(depth, CAM, "cam", 0.0)
+    t[0] = 0.01
+    node.tick()
+    for k in range(3):
+        t[0] = 0.3 + 0.2 * k
+        node.tick()
+    assert msgs and any(m.blocks for m in msgs)
