@@ -223,9 +223,20 @@ def update_mesh_layer(m, max_blocks: int = 2048) -> List[Tuple[int, int, int]]:
         from isaac_ros_nvblox_tpu.ops.mesh_pallas import local_to_world_verts
         verts, colors, mask, bidx, slots = m.update_mesh_dirty_device(
             max_blocks=max_blocks, use_pallas=True, return_slots=True)
+        # The dirty compaction puts live rows in a prefix; one scalar
+        # readback bounds the device->host transfer to the live rows
+        # instead of the full max_blocks padding (publish cadence: the
+        # sync is fine, the bandwidth is the cost).
+        n_live = int(jnp.sum((slots < m.capacity).astype(jnp.int32)))
+        verts = verts[:n_live]
+        mask = mask[:n_live]
+        bidx = bidx[:n_live]
+        slots = slots[:n_live]
+        if colors is not None:
+            colors = colors[:n_live]
         world, _ = local_to_world_verts(verts, bidx, m.voxel_size_m)
-        world = np.asarray(world)          # [N,3,16,512]
-        mask_np = np.asarray(mask)         # [N,16,512]
+        world = np.asarray(world)          # [n,3,16,512]
+        mask_np = np.asarray(mask)         # [n,16,512]
         cols = (np.asarray(colors.astype(jnp.float32))
                 if colors is not None else None)
         bidx_np = np.asarray(bidx)
