@@ -69,7 +69,7 @@ NB = 8             # voxel blocks per program (sublane-dim batching)
 def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
             p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref, d_ref, w_ref,
             d_out, w_out, tile_scratch, ohu_scratch, meas_scratch, *,
-            mode: WeightingFunctionType):
+            mode: WeightingFunctionType, ablate: str = ""):
     """Eight blocks: per-block one-hot sampling, vectorized (8,512) fusion."""
     i = pl.program_id(0)
 
@@ -97,20 +97,20 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
         _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
                    p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref, d_ref, w_ref,
                    d_out, w_out, tile_scratch, ohu_scratch, meas_scratch, i,
-                   mode)
+                   mode, ablate)
 
 
 def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
                p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref, d_ref, w_ref,
                d_out, w_out, tile_scratch, ohu_scratch, meas_scratch, i,
-               mode: WeightingFunctionType):
+               mode: WeightingFunctionType, ablate: str = ""):
     truncation = scal_ref[0]
     max_dist = scal_ref[1]
     max_weight = scal_ref[2]
     dropoff_eps = scal_ref[3]
 
     # --- per-block separable one-hot sampling (MXU) -> meas_scratch rows.
-    for j in range(NB):
+    for j in range(NB if ablate != "nosample" else 0):
         valid_j = valid_ref[i * NB + j]
 
         @pl.when(valid_j == 0)
@@ -122,11 +122,12 @@ def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
             level = level_ref[i * NB + j]
             u0 = pl.multiple_of(u0_ref[i * NB + j], 128)
             v0 = pl.multiple_of(v0_ref[i * NB + j], 8)
-            for lvl, ref in enumerate((p0, p1, p2, p3, p4)):
-                @pl.when(level == lvl)
-                def _():
-                    tile_scratch[:, :] = ref[pl.ds(v0, TILE_V),
-                                             pl.ds(u0, TILE_U)]
+            if ablate != "notile":
+                for lvl, ref in enumerate((p0, p1, p2, p3, p4)):
+                    @pl.when(level == lvl)
+                    def _():
+                        tile_scratch[:, :] = ref[pl.ds(v0, TILE_V),
+                                                 pl.ds(u0, TILE_U)]
             # Rotate the footprint window to column 0 (dynamic roll: lane
             # slices must be 128-aligned, rolls need not) and keep 128
             # lanes for the contraction.
@@ -189,14 +190,21 @@ def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("camera", "voxel_size_m", "params", "interpret"),
+    static_argnames=("camera", "voxel_size_m", "params", "interpret",
+                     "ablate"),
     donate_argnums=(0, 1))
 def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
                           T_L_C, *, camera: Camera, voxel_size_m: float,
                           params: TsdfIntegratorParams,
-                          interpret: bool = False
+                          interpret: bool = False,
+                          ablate: str = ""
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ops/tsdf.integrate_tsdf on TPU."""
+    """Drop-in replacement for ops/tsdf.integrate_tsdf on TPU.
+
+    `ablate` (diagnosis only, wrong results): "nosample" skips the
+    per-block sampling loop (fusion math on zero measurements), "notile"
+    samples from whatever is in the tile scratch (skips the tile copies).
+    """
     cap = distance.shape[0]
     N = slots.shape[0]
     N8 = ((N + NB - 1) // NB) * NB
@@ -320,7 +328,8 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
         ],
     )
 
-    kernel = functools.partial(_kernel, mode=params.weighting_mode)
+    kernel = functools.partial(_kernel, mode=params.weighting_mode,
+                               ablate=ablate)
     d_o, w_o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

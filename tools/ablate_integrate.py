@@ -115,7 +115,7 @@ def scan_full(depths, poses):
     return dist
 
 
-def scan_kernel_only(depths, poses, slots, bidx):
+def scan_kernel_only(depths, poses, slots, bidx, ablate=""):
     dist = jnp.zeros((cfg.capacity, 512), jnp.float32)
     wgt = jnp.zeros((cfg.capacity, 512), jnp.float32)
     def step(carry, xs):
@@ -123,7 +123,7 @@ def scan_kernel_only(depths, poses, slots, bidx):
         d, T = xs
         dist, wgt = integrate_tsdf_pallas(
             dist, wgt, slots, bidx, d, T, camera=CAM, voxel_size_m=VOX,
-            params=PARAMS)
+            params=PARAMS, ablate=ablate)
         return (dist, wgt), ()
     (dist, wgt), _ = jax.lax.scan(step, (dist, wgt), (depths, poses))
     return dist
@@ -172,6 +172,10 @@ def main():
         if "kernel" in stages:
             timeit("kernel only (fixed batch)", scan_kernel_only,
                    depths, poses, slots, bidx)
+            timeit("kernel nosample", lambda d, p, s, b: scan_kernel_only(
+                d, p, s, b, ablate="nosample"), depths, poses, slots, bidx)
+            timeit("kernel notile", lambda d, p, s, b: scan_kernel_only(
+                d, p, s, b, ablate="notile"), depths, poses, slots, bidx)
         if "color" in stages:
             timeit("color fuse (fixed batch)", scan_color,
                    depths, poses, slots, bidx)
