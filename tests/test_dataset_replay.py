@@ -85,3 +85,99 @@ def test_replay_reconstruction_accuracy(replica_root):
     # the estimate conservatively larger there).
     assert float(np.median(err)) < VOXEL
     assert float(np.mean(err)) < 2 * VOXEL
+
+
+def _render_seq(scene, camera, n=4):
+    import jax.numpy as jnp
+    from isaac_ros_nvblox_tpu.models.scene import (orbit_pose, render_color,
+                                                   render_depth)
+    frames = []
+    for i in range(n):
+        T = orbit_pose(2 * np.pi * i / 8, radius=1.1, height=1.0,
+                       target=(0, 0, 1.0))
+        d = np.asarray(render_depth(scene, camera, jnp.asarray(T)))
+        c = np.asarray(render_color(scene, camera, jnp.asarray(T)))
+        frames.append((np.where(np.isfinite(d), d, 0.0), c, T))
+    return frames
+
+
+def test_threedmatch_loader_roundtrip(tmp_path):
+    """Write a tiny 3DMatch-format sequence to disk, replay it through the
+    real loader + Fuser, and check reconstruction against the analytic
+    scene (the loader-never-ran-on-real-files gap)."""
+    import imageio.v2 as imageio
+
+    from isaac_ros_nvblox_tpu.datasets.replica import ThreeDMatchDataLoader
+    camera = Camera(fx=160.0, fy=160.0, cx=79.5, cy=59.5,
+                    width=160, height=120)
+    scene = Scene(primitives=(
+        RoomBox(center=(0.0, 0.0, 1.25), half_extents=(2.2, 1.8, 1.25)),
+        Sphere(center=(0.7, 0.5, 0.8), radius=0.4)))
+    root = tmp_path / "3dm"
+    seq = root / "seq-01"
+    seq.mkdir(parents=True)
+    K = np.array([[camera.fx, 0, camera.cx], [0, camera.fy, camera.cy],
+                  [0, 0, 1.0]])
+    np.savetxt(root / "camera-intrinsics.txt", K)
+    for i, (d, c, T) in enumerate(_render_seq(scene, camera)):
+        imageio.imwrite(seq / f"frame-{i:06d}.depth.png",
+                        np.clip(d * 1000.0, 0, 65535).astype(np.uint16))
+        imageio.imwrite(seq / f"frame-{i:06d}.color.png",
+                        np.clip(c, 0, 255).astype(np.uint8))
+        np.savetxt(seq / f"frame-{i:06d}.pose.txt", T)
+
+    loader = ThreeDMatchDataLoader(root)
+    assert loader.num_frames == 4
+    fuser = Fuser(loader, FuserConfig(voxel_size_m=VOXEL, capacity=4096))
+    assert fuser.run() == 4
+    assert fuser.mapper.block_count() > 100
+    _assert_surface_accuracy(fuser.mapper, scene)
+
+
+def test_redwood_loader_roundtrip(tmp_path):
+    """Same round-trip through the Redwood layout (pose.log + depth pngs)."""
+    import imageio.v2 as imageio
+
+    from isaac_ros_nvblox_tpu.datasets.replica import RedwoodDataLoader
+    camera = Camera(fx=160.0, fy=160.0, cx=79.5, cy=59.5,
+                    width=160, height=120)
+    scene = Scene(primitives=(
+        RoomBox(center=(0.0, 0.0, 1.25), half_extents=(2.2, 1.8, 1.25)),
+        Sphere(center=(0.7, 0.5, 0.8), radius=0.4)))
+    root = tmp_path / "redwood"
+    (root / "depth").mkdir(parents=True)
+    (root / "image").mkdir()
+    log_lines = []
+    for i, (d, c, T) in enumerate(_render_seq(scene, camera)):
+        imageio.imwrite(root / "depth" / f"{i:06d}.png",
+                        np.clip(d * 1000.0, 0, 65535).astype(np.uint16))
+        imageio.imwrite(root / "image" / f"{i:06d}.jpg",
+                        np.clip(c, 0, 255).astype(np.uint8))
+        log_lines.append(f"{i} {i} {i + 1}")
+        for row in np.asarray(T, np.float64):
+            log_lines.append(" ".join(f"{v:.9g}" for v in row))
+    (root / "pose.log").write_text("\n".join(log_lines) + "\n")
+
+    loader = RedwoodDataLoader(root, fx=camera.fx, fy=camera.fy,
+                               cx=camera.cx, cy=camera.cy)
+    assert loader.num_frames == 4
+    fuser = Fuser(loader, FuserConfig(voxel_size_m=VOXEL, capacity=4096))
+    assert fuser.run() == 4
+    assert fuser.mapper.block_count() > 100
+    _assert_surface_accuracy(fuser.mapper, scene)
+
+
+def _assert_surface_accuracy(m, scene, max_mae=0.05):
+    """Band-limited TSDF MAE vs the analytic SDF (sub-voxel-ish)."""
+    import jax.numpy as jnp
+    from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
+    n = m.block_count()
+    bidx = np.asarray(m.state.block_index_of_slot)[:n]
+    centers = voxel_centers_for_blocks(jnp.asarray(bidx), VOXEL)
+    gt = np.asarray(scene.sdf(centers))
+    d = np.asarray(m.channels["tsdf_distance"])[:n]
+    w = np.asarray(m.channels["tsdf_weight"])[:n]
+    band = (np.abs(gt) < 0.1) & (w > 0.1)
+    assert band.sum() > 300
+    mae = float(np.mean(np.abs(d[band] - gt[band])))
+    assert mae < max_mae, mae
