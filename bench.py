@@ -154,6 +154,40 @@ def main():
                    colors=colors_r, color_every=8)
     pipeline_fps = 1000.0 / t_pipe
 
+    # Dynamics (reference "Dynamics" row): freespace-driven detection +
+    # masked background TSDF + foreground occupancy + freespace update,
+    # all inside one scan; reported as the marginal over plain TSDF.
+    import dataclasses
+
+    from isaac_ros_nvblox_tpu.mapper.multi_mapper import MultiMapper
+    from isaac_ros_nvblox_tpu.mapper.params import (MappingType,
+                                                    MultiMapperParams)
+    mm = MultiMapper(
+        MultiMapperParams(mapping_type=MappingType.DYNAMIC,
+                          block_capacity=16384,
+                          static_mapper=dataclasses.replace(
+                              params,
+                              remove_small_connected_components=False)),
+        world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
+                              origin_block=(-32, -32, -8)))
+    dyn_t0 = [0.0]
+
+    def dyn_pass():
+        times = jnp.asarray(dyn_t0[0] + 25.0 * np.arange(n_steps),
+                            jnp.float32)
+        dyn_t0[0] += 25.0 * n_steps
+        mm.replay_frames_dynamic(depths_r, poses_r, times, camera)
+        return _barrier(mm.static_mapper.channels["tsdf_weight"],
+                        mm.dynamic_mapper.channels["occupancy_log_odds"])
+
+    dyn_pass()   # warmup/compile
+    t_dyn = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dyn_pass()
+        t_dyn = min(t_dyn, time.perf_counter() - t0)
+    dynamics_ms = max(t_dyn * 1e3 / n_steps - tsdf_ms, 0.0)
+
     # Incremental ESDF (the node's online path): dirty-region updates,
     # measured as a pipelined loop difference so the one-off barrier sync
     # (~30 ms through the relay) cancels out. Poses are passed as host
@@ -244,6 +278,7 @@ def main():
         "node_tick_ms": round(node_tick_ms, 3),
         "mesh_ms": round(mesh_ms, 3),
         "color_ms": round(color_ms, 3),
+        "dynamics_ms": round(dynamics_ms, 3),
         "tsdf_mae_m": round(tsdf_mae, 4),
         "esdf_mae_m": round(esdf_mae, 4),
         "allocated_blocks": n_blocks,

@@ -101,6 +101,66 @@ def _detect_dynamic_fused(state, high_confidence, depth, T_L_C, *,
     return (hc & ok).reshape(H, W), p_L
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("camera", "voxel_size_m", "static_params", "occ_params",
+                     "free_params", "max_blocks", "use_pallas",
+                     "max_depth_m"),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
+                         d_state, d_ch, d_dirty, d_edirty,
+                         depths, T_L_Cs, times_ms, last_ms0, *,
+                         camera: Camera, voxel_size_m: float, static_params,
+                         occ_params, free_params, max_blocks: int,
+                         use_pallas: bool, max_depth_m: float):
+    """The WHOLE dynamic pipeline in ONE device program (lax.scan):
+    freespace-driven dynamic detection -> masked static TSDF (background)
+    -> masked dynamic occupancy (foreground) -> freespace update. The
+    per-frame equivalent of the reference's people/dynamics components
+    (BASELINE.md "Dynamics" row; detection semantics of
+    _detect_dynamic_fused / dynamics.cpp)."""
+    from isaac_ros_nvblox_tpu.mapper import device_mapper as dm
+
+    def step(carry, inp):
+        ss, sch, sd, sed, ds, dch, dd, ded, last_ms = carry
+        depth, T, t_ms = inp
+        mask, _ = _detect_dynamic_fused(
+            ss, sch["freespace_high_confidence"], depth, T, camera=camera,
+            voxel_size_m=voxel_size_m, max_depth_m=max_depth_m)
+        mask_u8 = mask.astype(jnp.uint8)
+        ss, d, w, sd, sed = dm._integrate_frame_fused(
+            ss, sch["tsdf_distance"], sch["tsdf_weight"], sd, sed, depth, T,
+            mask_u8, camera=camera, voxel_size_m=voxel_size_m,
+            params=static_params, max_blocks=max_blocks,
+            use_pallas=use_pallas, mask_mode=1)
+        sch = dict(sch, tsdf_distance=d, tsdf_weight=w)
+        ds, lo, ob, dd, ded = dm._integrate_occupancy_fused(
+            ds, dch["occupancy_log_odds"], dch["occupancy_observed"], dd,
+            ded, depth, T, mask_u8, camera=camera,
+            voxel_size_m=voxel_size_m, params=occ_params,
+            proj_max_distance_m=float(occ_params.max_integration_distance_m),
+            truncation_m=float(occ_params.occupied_region_half_width_m),
+            max_blocks=max_blocks, mask_mode=2)
+        dch = dict(dch, occupancy_log_odds=lo, occupancy_observed=ob)
+        cons, last, hc = dm._freespace_fused(
+            sch["freespace_consecutive_ms"],
+            sch["freespace_last_occupied_ms"],
+            sch["freespace_high_confidence"], ss, sch["tsdf_distance"],
+            sch["tsdf_weight"], T, t_ms, last_ms, camera=camera,
+            voxel_size_m=voxel_size_m, params=free_params,
+            view_distance_m=float(static_params.max_integration_distance_m),
+            max_blocks=max_blocks)
+        sch = dict(sch, freespace_consecutive_ms=cons,
+                   freespace_last_occupied_ms=last,
+                   freespace_high_confidence=hc)
+        return (ss, sch, sd, sed, ds, dch, dd, ded, t_ms), None
+
+    carry0 = (s_state, s_ch, s_dirty, s_edirty, d_state, d_ch, d_dirty,
+              d_edirty, last_ms0)
+    carry, _ = jax.lax.scan(step, carry0, (depths, T_L_Cs, times_ms))
+    return carry
+
+
 class MultiMapper:
     def __init__(self, params: Optional[MultiMapperParams] = None,
                  world: Optional[wg.WorldGridConfig] = None):
@@ -217,6 +277,37 @@ class MultiMapper:
         self.static_mapper.integrate_pointcloud(
             points, T_L_S, lidar or self.default_lidar,
             timestamps_s=timestamps_s, T_L_S_end=T_L_S_end)
+
+    def replay_frames_dynamic(self, depths, T_L_Cs, times_ms,
+                              camera: Camera) -> None:
+        """Replay N frames through the full dynamic pipeline in ONE device
+        program (detection -> masked split -> freespace); DYNAMIC mode
+        only. The offline/bench analogue of integrate_depth's dynamic
+        branch (minus the host-side CC mask filter, which is an optional
+        post-process)."""
+        assert self.uses_freespace and self.dynamic_mapper is not None
+        sm, dmap = self.static_mapper, self.dynamic_mapper
+        use_pallas = (jax.default_backend() == "tpu"
+                      if sm.use_pallas_integrate is None
+                      else sm.use_pallas_integrate)
+        (sm.state, sm.channels, sm.dirty, sm.esdf_dirty,
+         dmap.state, dmap.channels, dmap.dirty, dmap.esdf_dirty,
+         last_ms) = _dynamic_replay_scan(
+            sm.state, sm.channels, sm.dirty, sm.esdf_dirty,
+            dmap.state, dmap.channels, dmap.dirty, dmap.esdf_dirty,
+            jnp.asarray(depths, jnp.float32), jnp.asarray(T_L_Cs, jnp.float32),
+            jnp.asarray(times_ms, jnp.float32),
+            jnp.float32(sm._freespace_last_update_ms),
+            camera=camera, voxel_size_m=sm.voxel_size_m,
+            static_params=sm.params.projective,
+            occ_params=dmap.params.occupancy,
+            free_params=sm.params.freespace,
+            max_blocks=sm.max_blocks_per_frame, use_pallas=use_pallas,
+            max_depth_m=float(sm.params.projective
+                              .max_integration_distance_m))
+        sm._freespace_last_update_ms = float(np.asarray(last_ms))
+        sm._region_unknown = True
+        dmap._region_unknown = True
 
     # -------------------------------------------------------------- dynamic
     def detect_dynamic(self, depth, T_L_C, camera: Camera) -> np.ndarray:

@@ -114,3 +114,73 @@ def test_ground_plane_estimator():
     assert abs(plane.height_at(0.5, 0.0)) < 0.08
     n = plane.normal()
     assert n[2] > 0.95
+
+
+def test_dynamic_replay_scan_matches_eager_and_detects():
+    """replay_frames_dynamic (the in-scan dynamics pipeline) must equal
+    the eager dynamic path channel-for-channel, and a freshly appearing
+    object inside high-confidence freespace must land in the dynamic
+    occupancy map (freespace-driven detection, the reference's dynamics
+    mode)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from isaac_ros_nvblox_tpu.core import world_grid as wg
+    from isaac_ros_nvblox_tpu.mapper.multi_mapper import MultiMapper
+    from isaac_ros_nvblox_tpu.mapper.params import (MapperParams,
+                                                    MappingType,
+                                                    MultiMapperParams)
+    from isaac_ros_nvblox_tpu.models.scene import (RoomBox, Scene, Sphere,
+                                                   orbit_pose, render_depth)
+    from isaac_ros_nvblox_tpu.ops.freespace import FreespaceIntegratorParams
+
+    cam = Camera(fx=120.0, fy=120.0, cx=59.5, cy=44.5, width=120, height=90)
+    world = wg.WorldGridConfig(dims=(32, 32, 16), capacity=4096,
+                               origin_block=(-16, -16, -4))
+
+    def mk():
+        sp = MapperParams(
+            freespace=FreespaceIntegratorParams(
+                min_duration_since_occupied_for_freespace_ms=100.0))
+        sp = dataclasses.replace(sp,
+                                 remove_small_connected_components=False)
+        p = MultiMapperParams(mapping_type=MappingType.DYNAMIC,
+                              block_capacity=4096, static_mapper=sp)
+        return MultiMapper(p, world=world)
+
+    # Static room for the first frames; a person-sized sphere pops into
+    # previously-free space on the last frame.
+    room = (RoomBox(center=(0.0, 0.0, 1.25), half_extents=(2.2, 1.8, 1.25)),)
+    static_scene = Scene(primitives=room)
+    dynamic_scene = Scene(primitives=room + (
+        Sphere(center=(0.6, 0.0, 1.0), radius=0.3),))
+    T = orbit_pose(0.0, radius=1.8, height=1.0, target=(0, 0, 1.0))
+    depths, poses, times = [], [], []
+    for k in range(6):
+        scene = dynamic_scene if k == 5 else static_scene
+        depths.append(np.asarray(render_depth(scene, cam, jnp.asarray(T))))
+        poses.append(np.asarray(T, np.float32))
+        times.append(200.0 * k)
+
+    m1 = mk()
+    m1.replay_frames_dynamic(np.stack(depths), np.stack(poses),
+                             np.asarray(times, np.float32), cam)
+    m2 = mk()
+    for k in range(6):
+        m2.integrate_depth(depths[k], poses[k], cam, time_ms=times[k])
+
+    for name, get in [
+            ("tsdf_weight", lambda m: m.static_mapper.channels["tsdf_weight"]),
+            ("occupancy_log_odds",
+             lambda m: m.dynamic_mapper.channels["occupancy_log_odds"]),
+            ("freespace_high_confidence",
+             lambda m: m.static_mapper.channels[
+                 "freespace_high_confidence"])]:
+        a = np.asarray(get(m1), np.float64)
+        b = np.asarray(get(m2), np.float64)
+        assert abs(a.sum() - b.sum()) <= 1e-3 * max(abs(b.sum()), 1.0), name
+
+    # The popped-in sphere was detected: dynamic occupancy gained mass.
+    occ = np.asarray(m1.dynamic_mapper.channels["occupancy_log_odds"])
+    assert (occ > 0).sum() > 50, (occ > 0).sum()
