@@ -70,19 +70,26 @@ def reproject_mask(depth, mask, T_CM_CD, *, depth_camera: Camera,
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "voxel_size_m",
-                                             "max_depth_m"))
+                                             "max_depth_m", "subsample"))
 def _detect_dynamic_fused(state, high_confidence, depth, T_L_C, *,
                           camera: Camera, voxel_size_m: float,
-                          max_depth_m: float):
+                          max_depth_m: float, subsample: int = 1):
     """Dynamic-pixel mask: depth pixels landing in high-confidence
-    freespace voxels (device slot_grid lookup, no host tables)."""
+    freespace voxels (device slot_grid lookup, no host tables).
+
+    `subsample` > 1 evaluates the lookup on a strided pixel grid and
+    nearest-upsamples the mask — the per-pixel voxel lookup is TWO element
+    gathers/pixel (~115 M elem/s on TPU), so full-res VGA detection costs
+    ~5 ms; subsample=2 cuts it 4x with 2x2-pixel mask granularity."""
     from isaac_ros_nvblox_tpu.core.types import Transform
     B = 8
     cap = high_confidence.shape[0]
     H, W = depth.shape
-    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    z = depth
+    d_s = depth[::subsample, ::subsample] if subsample > 1 else depth
+    Hs, Ws = d_s.shape
+    uu = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 1) * subsample
+    vv = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 0) * subsample
+    z = d_s
     x = (uu - camera.cx) / camera.fx * z
     y = (vv - camera.cy) / camera.fy * z
     p_L = Transform.apply(T_L_C, jnp.stack([x, y, z], -1).reshape(-1, 3))
@@ -96,23 +103,28 @@ def _detect_dynamic_fused(state, high_confidence, depth, T_L_C, *,
     l = gvox - b * B
     vox = (l[:, 0] * B + l[:, 1]) * B + l[:, 2]
     hc = high_confidence[jnp.clip(slot, 0, cap - 1), vox]
-    ok = in_b & (slot >= 0) & (depth.reshape(-1) > 0) \
-        & (depth.reshape(-1) <= max_depth_m)
-    return (hc & ok).reshape(H, W), p_L
+    ok = in_b & (slot >= 0) & (d_s.reshape(-1) > 0) \
+        & (d_s.reshape(-1) <= max_depth_m)
+    mask = (hc & ok).reshape(Hs, Ws)
+    if subsample > 1:
+        mask = jnp.repeat(jnp.repeat(mask, subsample, axis=0), subsample,
+                          axis=1)[:H, :W]
+    return mask, p_L
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "voxel_size_m", "static_params", "occ_params",
                      "free_params", "max_blocks", "use_pallas",
-                     "max_depth_m"),
+                     "max_depth_m", "detect_subsample"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
                          d_state, d_ch, d_dirty, d_edirty,
                          depths, T_L_Cs, times_ms, last_ms0, *,
                          camera: Camera, voxel_size_m: float, static_params,
                          occ_params, free_params, max_blocks: int,
-                         use_pallas: bool, max_depth_m: float):
+                         use_pallas: bool, max_depth_m: float,
+                         detect_subsample: int = 1):
     """The WHOLE dynamic pipeline in ONE device program (lax.scan):
     freespace-driven dynamic detection -> masked static TSDF (background)
     -> masked dynamic occupancy (foreground) -> freespace update. The
@@ -126,7 +138,8 @@ def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
         depth, T, t_ms = inp
         mask, _ = _detect_dynamic_fused(
             ss, sch["freespace_high_confidence"], depth, T, camera=camera,
-            voxel_size_m=voxel_size_m, max_depth_m=max_depth_m)
+            voxel_size_m=voxel_size_m, max_depth_m=max_depth_m,
+            subsample=detect_subsample)
         mask_u8 = mask.astype(jnp.uint8)
         ss, d, w, sd, sed = dm._integrate_frame_fused(
             ss, sch["tsdf_distance"], sch["tsdf_weight"], sd, sed, depth, T,
@@ -304,7 +317,8 @@ class MultiMapper:
             free_params=sm.params.freespace,
             max_blocks=sm.max_blocks_per_frame, use_pallas=use_pallas,
             max_depth_m=float(sm.params.projective
-                              .max_integration_distance_m))
+                              .max_integration_distance_m),
+            detect_subsample=int(self.params.dynamic_detection_subsample))
         sm._freespace_last_update_ms = float(np.asarray(last_ms))
         sm._region_unknown = True
         dmap._region_unknown = True
@@ -320,10 +334,14 @@ class MultiMapper:
             jnp.asarray(depth, jnp.float32), jnp.asarray(T_L_C, jnp.float32),
             camera=camera, voxel_size_m=m.voxel_size_m,
             max_depth_m=float(
-                m.params.projective.max_integration_distance_m))
+                m.params.projective.max_integration_distance_m),
+            subsample=int(self.params.dynamic_detection_subsample))
         mask_np = np.asarray(mask)
+        # p_L holds the (possibly subsampled) lookup points; index it with
+        # the matching strided view of the upsampled mask.
+        s = int(self.params.dynamic_detection_subsample)
         self.last_dynamic_pointcloud = \
-            np.asarray(p_L)[mask_np.reshape(-1)]
+            np.asarray(p_L)[mask_np[::s, ::s].reshape(-1)]
         return mask_np.astype(np.uint8)
 
     # --------------------------------------------------------------- update

@@ -100,6 +100,9 @@ class MultiMapperParams:
     esdf_mode: EsdfMode = EsdfMode.K2D
     block_capacity: int = 16384
     static_mapper: MapperParams = dataclasses.field(default_factory=MapperParams)
+    # Dynamic-detection pixel stride (TPU-specific: the per-pixel freespace
+    # lookup is gather-bound; 2 = 4x cheaper at 2x2 mask granularity).
+    dynamic_detection_subsample: int = 1
     dynamic_mapper: MapperParams = dataclasses.field(
         default_factory=lambda: MapperParams(
             projective=TsdfIntegratorParams(max_integration_distance_m=4.0)))

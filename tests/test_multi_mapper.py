@@ -184,3 +184,48 @@ def test_dynamic_replay_scan_matches_eager_and_detects():
     # The popped-in sphere was detected: dynamic occupancy gained mass.
     occ = np.asarray(m1.dynamic_mapper.channels["occupancy_log_odds"])
     assert (occ > 0).sum() > 50, (occ > 0).sum()
+
+
+def test_dynamic_detection_subsample():
+    """subsample=2 detection still finds the dynamic object (2x2 mask
+    granularity) — the TPU knob for the gather-bound per-pixel lookup."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from isaac_ros_nvblox_tpu.core import world_grid as wg
+    from isaac_ros_nvblox_tpu.mapper.multi_mapper import MultiMapper
+    from isaac_ros_nvblox_tpu.mapper.params import (MapperParams,
+                                                    MappingType,
+                                                    MultiMapperParams)
+    from isaac_ros_nvblox_tpu.models.scene import (RoomBox, Scene, Sphere,
+                                                   orbit_pose, render_depth)
+    from isaac_ros_nvblox_tpu.ops.freespace import FreespaceIntegratorParams
+
+    cam = Camera(fx=120.0, fy=120.0, cx=59.5, cy=44.5, width=120, height=90)
+    world = wg.WorldGridConfig(dims=(32, 32, 16), capacity=4096,
+                               origin_block=(-16, -16, -4))
+    sp = dataclasses.replace(
+        MapperParams(freespace=FreespaceIntegratorParams(
+            min_duration_since_occupied_for_freespace_ms=100.0)),
+        remove_small_connected_components=False)
+    mm = MultiMapper(MultiMapperParams(
+        mapping_type=MappingType.DYNAMIC, block_capacity=4096,
+        static_mapper=sp, dynamic_detection_subsample=2), world=world)
+
+    room = (RoomBox(center=(0.0, 0.0, 1.25), half_extents=(2.2, 1.8, 1.25)),)
+    T = orbit_pose(0.0, radius=1.8, height=1.0, target=(0, 0, 1.0))
+    static_d = np.asarray(render_depth(Scene(primitives=room), cam,
+                                       jnp.asarray(T)))
+    dyn_d = np.asarray(render_depth(
+        Scene(primitives=room + (Sphere(center=(0.6, 0.0, 1.0),
+                                        radius=0.3),)),
+        cam, jnp.asarray(T)))
+    for k in range(5):
+        mm.integrate_depth(static_d, np.asarray(T, np.float32), cam,
+                           time_ms=200.0 * k)
+    mm.integrate_depth(dyn_d, np.asarray(T, np.float32), cam, time_ms=1000.0)
+    assert mm.last_dynamic_mask is not None
+    assert mm.last_dynamic_mask.sum() > 100   # object detected at stride 2
+    occ = np.asarray(mm.dynamic_mapper.channels["occupancy_log_odds"])
+    assert (occ > 0).sum() > 50
