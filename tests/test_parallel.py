@@ -56,4 +56,9 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert out[0].shape == args[0].shape
+    # (state, distance, weight, dirty, esdf_dirty): the fused frame step
+    # allocated blocks and fused the flat wall.
+    state, distance = out[0], out[1]
+    assert int(state.alloc_count) > 0
+    assert distance.shape == args[1].shape
+    assert float(jax.numpy.sum(jax.numpy.abs(distance))) > 0.0
