@@ -32,9 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map as _sm
+    shard_map = functools.partial(_sm, check_vma=False)
+except ImportError:  # older jax spells it check_rep
+    from jax.experimental.shard_map import shard_map as _sm
+    shard_map = functools.partial(_sm, check_rep=False)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from isaac_ros_nvblox_tpu.core.types import (Transform, VOXELS_PER_SIDE,
@@ -171,8 +173,7 @@ def make_sharded_frame_step(mesh: Mesh, camera: Camera,
         local_step, mesh=mesh,
         in_specs=(pool_spec, pool_spec, pool_spec, batch_spec, batch_spec,
                   batch_spec, batch_spec),
-        out_specs=(pool_spec, pool_spec, pool_spec, P("space")),
-        check_rep=False)
+        out_specs=(pool_spec, pool_spec, pool_spec, P("space")))
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
