@@ -104,18 +104,19 @@ def _integrate_frame_fused(state, distance, weight, dirty, esdf_dirty, depth,
 @functools.partial(jax.jit,
                    static_argnames=("camera", "voxel_size_m", "params",
                                     "proj_max_distance_m", "truncation_m",
-                                    "max_blocks", "mask_mode", "view_params"),
+                                    "max_blocks", "mask_mode", "view_params",
+                                    "use_pallas"),
                    donate_argnums=(0, 1, 2, 3, 4))
 def _integrate_occupancy_fused(state, log_odds, observed, dirty, esdf_dirty,
                                depth, T_L_C, mask=None, *, camera: Camera,
                                voxel_size_m: float, params,
                                proj_max_distance_m: float,
                                truncation_m: float, max_blocks: int,
-                               mask_mode: int = 0, view_params=None):
+                               mask_mode: int = 0, view_params=None,
+                               use_pallas: bool = False):
     """Occupancy-layer analogue of _integrate_frame_fused (log-odds fusion;
     parity: the occupancy integrator used by static_occupancy mode and the
     dynamic foreground mapper, mapper_initialization.cpp:307-328)."""
-    from isaac_ros_nvblox_tpu.ops.occupancy import integrate_occupancy
     if mask_mode == 1:
         depth = jnp.where(mask > 0, 0.0, depth)
     elif mask_mode == 2:
@@ -129,9 +130,17 @@ def _integrate_occupancy_fused(state, log_odds, observed, dirty, esdf_dirty,
             grid, origin, voxel_size_m=voxel_size_m, params=view_params)
     state, slots, bidx, _ = wg.allocate_and_batch(
         state, grid, origin, max_blocks=max_blocks)
-    log_odds, observed = integrate_occupancy(
-        log_odds, observed, slots, bidx, depth, T_L_C, camera=camera,
-        voxel_size_m=voxel_size_m, params=params)
+    if use_pallas:
+        from isaac_ros_nvblox_tpu.ops.occupancy_pallas import (
+            integrate_occupancy_pallas)
+        log_odds, observed = integrate_occupancy_pallas(
+            log_odds, observed, slots, bidx, depth, T_L_C, camera=camera,
+            voxel_size_m=voxel_size_m, params=params)
+    else:
+        from isaac_ros_nvblox_tpu.ops.occupancy import integrate_occupancy
+        log_odds, observed = integrate_occupancy(
+            log_odds, observed, slots, bidx, depth, T_L_C, camera=camera,
+            voxel_size_m=voxel_size_m, params=params)
     dirty = dirty.at[slots].set(True, mode="drop")
     esdf_dirty = esdf_dirty.at[slots].set(True, mode="drop")
     return state, log_odds, observed, dirty, esdf_dirty
@@ -782,6 +791,9 @@ class DeviceMapper:
         mask_j = (jnp.zeros((1, 1), jnp.uint8) if mask is None
                   else jnp.asarray(mask))
         if self._is_occupancy:
+            use_pallas = (jax.default_backend() == "tpu"
+                          if self.use_pallas_integrate is None
+                          else self.use_pallas_integrate)
             (self.state, lo, obs, self.dirty,
              self.esdf_dirty) = _integrate_occupancy_fused(
                 self.state, self.channels["occupancy_log_odds"],
@@ -793,7 +805,7 @@ class DeviceMapper:
                 truncation_m=float(
                     self.params.occupancy.occupied_region_half_width_m),
                 max_blocks=self.max_blocks_per_frame, mask_mode=mm,
-                view_params=self._view_bounds())
+                view_params=self._view_bounds(), use_pallas=use_pallas)
             self.channels["occupancy_log_odds"] = lo
             self.channels["occupancy_observed"] = obs
         else:

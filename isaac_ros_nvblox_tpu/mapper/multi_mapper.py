@@ -153,7 +153,7 @@ def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
             voxel_size_m=voxel_size_m, params=occ_params,
             proj_max_distance_m=float(occ_params.max_integration_distance_m),
             truncation_m=float(occ_params.occupied_region_half_width_m),
-            max_blocks=max_blocks, mask_mode=2)
+            max_blocks=max_blocks, mask_mode=2, use_pallas=use_pallas)
         dch = dict(dch, occupancy_log_odds=lo, occupancy_observed=ob)
         cons, last, hc = dm._freespace_fused(
             sch["freespace_consecutive_ms"],

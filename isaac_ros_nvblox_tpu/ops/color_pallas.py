@@ -25,11 +25,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from isaac_ros_nvblox_tpu.core.types import Transform
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops.tsdf import (TsdfIntegratorParams,
                                            WeightingFunctionType)
@@ -156,14 +154,10 @@ def integrate_color_pallas(color_r, color_g, color_b, color_weight,
     cap = color_r.shape[0]
     H, W = camera.height, camera.width
     assert depth.shape == (H, W), "pallas color needs aligned RGB-D"
+    from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (footprint_prepass,
+                                                      pad_batch)
+    slots, block_indices = pad_batch(slots, block_indices, cap)
     N = slots.shape[0]
-    N8 = ((N + NB - 1) // NB) * NB
-    if N8 != N:
-        pad = N8 - N
-        slots = jnp.concatenate([slots, jnp.full((pad,), cap, jnp.int32)])
-        block_indices = jnp.concatenate(
-            [block_indices, jnp.zeros((pad, 3), block_indices.dtype)])
-        N = N8
 
     color_image = color_image.astype(jnp.float32)
     d_valid = jnp.where(jnp.isfinite(depth) & (depth > 0.0), depth, 0.0)
@@ -172,60 +166,9 @@ def integrate_color_pallas(color_r, color_g, color_b, color_weight,
                         color_image[..., 2], d_valid])        # (4, H, W)
     levels = [planes[:, :: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
 
-    # Per-block tile parameters (identical math to the TSDF v3 pre-pass).
-    bs = voxel_size_m * 8.0
-    centers = (block_indices.astype(jnp.float32) + 0.5) * bs
-    T_C_L = Transform.inverse(T_L_C)
-    c_C = centers @ T_C_L[:3, :3].T + T_C_L[:3, 3]
-    zc = jnp.maximum(c_C[:, 2], 1e-3)
-    fp = max(camera.fx, camera.fy) * bs / zc
-    level = jnp.clip(jnp.ceil(jnp.log2(fp / (TILE_V * 0.5))), 0,
-                     N_LEVELS - 1).astype(jnp.int32)
-    scale = jnp.exp2(-level.astype(jnp.float32))
-    uc = camera.fx * c_C[:, 0] / zc + camera.cx
-    vc = camera.fy * c_C[:, 1] / zc + camera.cy
-    dims_w = jnp.asarray([max((W + (1 << l) - 1) >> l, TILE_U)
-                          for l in range(N_LEVELS)])
-    dims_h = jnp.asarray([max((H + (1 << l) - 1) >> l, TILE_V)
-                          for l in range(N_LEVELS)])
-    w_l = dims_w[level]
-    h_l = dims_h[level]
-    v0 = jnp.clip((vc * scale).astype(jnp.int32) - TILE_V // 2, 0,
-                  h_l - TILE_V)
-    v0 = (v0 // 8) * 8
-    u0 = (jnp.round(uc * scale / 128.0).astype(jnp.int32) - 1) * 128
-    u0 = jnp.clip(u0, 0, w_l - TILE_U)
-    utc = jnp.round(uc * scale).astype(jnp.int32) - u0
-    shift = jnp.clip(utc - UW // 2, 0, TILE_U - UW)
-    valid = (slots < cap).astype(jnp.int32)
-    safe_slots = jnp.where(slots < cap, slots, 0)
-
-    # Per-voxel projection (identical to the TSDF v3 pre-pass).
-    lane = jnp.arange(V, dtype=jnp.int32)[None, :]
-    lx = (lane // 64).astype(jnp.float32)
-    ly = ((lane // 8) % 8).astype(jnp.float32)
-    lz = (lane % 8).astype(jnp.float32)
-    bi = block_indices.astype(jnp.float32)
-    wx = (bi[:, 0:1] * 8.0 + lx + 0.5) * voxel_size_m
-    wy = (bi[:, 1:2] * 8.0 + ly + 0.5) * voxel_size_m
-    wz = (bi[:, 2:3] * 8.0 + lz + 0.5) * voxel_size_m
-    R, t = T_C_L[:3, :3], T_C_L[:3, 3]
-    pcx = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + t[0]
-    pcy = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + t[1]
-    pcz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + t[2]
-    z_safe = jnp.where(pcz > 1e-6, pcz, 1.0)
-    u = camera.fx * pcx / z_safe + camera.cx
-    v = camera.fy * pcy / z_safe + camera.cy
-    in_view = ((pcz > 1e-6) & (u >= 0.0) & (u <= W - 1.0)
-               & (v >= 0.0) & (v <= H - 1.0))
-    inv_scale = scale[:, None]
-    ut = (jnp.round(u * inv_scale).astype(jnp.int32)
-          - u0[:, None] - shift[:, None])
-    vt = jnp.round(v * inv_scale).astype(jnp.int32) - v0[:, None]
-    ok = (in_view & (valid[:, None] > 0)
-          & (ut >= 0) & (ut < UW) & (vt >= 0) & (vt < TILE_V))
-    ut = jnp.where(ok, ut, -1)
-    vt = jnp.where(ok, vt, -1)
+    (level, u0, v0, shift, valid, safe_slots, ut, vt,
+     pcz) = footprint_prepass(slots, block_indices, T_L_C, camera=camera,
+                              voxel_size_m=voxel_size_m, cap=cap, H=H, W=W)
 
     scalars = jnp.asarray(
         [params.truncation_m(voxel_size_m),

@@ -188,24 +188,8 @@ def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
     w_out[:, :] = jnp.where(update, w_fused, w_old)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("camera", "voxel_size_m", "params", "interpret",
-                     "ablate"),
-    donate_argnums=(0, 1))
-def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
-                          T_L_C, *, camera: Camera, voxel_size_m: float,
-                          params: TsdfIntegratorParams,
-                          interpret: bool = False,
-                          ablate: str = ""
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ops/tsdf.integrate_tsdf on TPU.
-
-    `ablate` (diagnosis only, wrong results): "nosample" skips the
-    per-block sampling loop (fusion math on zero measurements), "notile"
-    samples from whatever is in the tile scratch (skips the tile copies).
-    """
-    cap = distance.shape[0]
+def pad_batch(slots, block_indices, cap: int):
+    """Pad a view batch to a multiple of NB (padding slots carry `cap`)."""
     N = slots.shape[0]
     N8 = ((N + NB - 1) // NB) * NB
     if N8 != N:
@@ -213,14 +197,18 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
         slots = jnp.concatenate([slots, jnp.full((pad,), cap, jnp.int32)])
         block_indices = jnp.concatenate(
             [block_indices, jnp.zeros((pad, 3), block_indices.dtype)])
-        N = N8
+    return slots, block_indices
 
-    # Decimated pyramid levels (sampling semantics -> strided views).
-    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-    levels = [depth[:: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
-    H, W = depth.shape
 
-    # Per-block tile parameters (vectorized XLA pre-pass).
+def footprint_prepass(slots, block_indices, T_L_C, *, camera: Camera,
+                      voxel_size_m: float, cap: int, H: int, W: int):
+    """Shared XLA pre-pass of the footprint-window sampling kernels
+    (TSDF / color / occupancy): per-block tile parameters (decimation
+    level, Mosaic-aligned tile origins, footprint-window shift) and
+    per-voxel window coordinates + camera-frame depth.
+
+    Returns (level, u0, v0, shift, valid, safe_slots, ut, vt, pcz).
+    """
     bs = voxel_size_m * 8.0
     centers = (block_indices.astype(jnp.float32) + 0.5) * bs
     T_C_L = Transform.inverse(T_L_C)
@@ -282,6 +270,38 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
           & (ut >= 0) & (ut < UW) & (vt >= 0) & (vt < TILE_V))
     ut = jnp.where(ok, ut, -1)
     vt = jnp.where(ok, vt, -1)
+    return level, u0, v0, shift, valid, safe_slots, ut, vt, pcz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("camera", "voxel_size_m", "params", "interpret",
+                     "ablate"),
+    donate_argnums=(0, 1))
+def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
+                          T_L_C, *, camera: Camera, voxel_size_m: float,
+                          params: TsdfIntegratorParams,
+                          interpret: bool = False,
+                          ablate: str = ""
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for ops/tsdf.integrate_tsdf on TPU.
+
+    `ablate` (diagnosis only, wrong results): "nosample" skips the
+    per-block sampling loop (fusion math on zero measurements), "notile"
+    samples from whatever is in the tile scratch (skips the tile copies).
+    """
+    cap = distance.shape[0]
+    slots, block_indices = pad_batch(slots, block_indices, cap)
+    N = slots.shape[0]
+
+    # Decimated pyramid levels (sampling semantics -> strided views).
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    levels = [depth[:: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
+    H, W = depth.shape
+
+    (level, u0, v0, shift, valid, safe_slots, ut, vt,
+     pcz) = footprint_prepass(slots, block_indices, T_L_C, camera=camera,
+                              voxel_size_m=voxel_size_m, cap=cap, H=H, W=W)
 
     scalars = jnp.asarray(
         [params.truncation_m(voxel_size_m),
