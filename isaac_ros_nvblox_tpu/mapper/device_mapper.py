@@ -148,25 +148,32 @@ def _integrate_occupancy_fused(state, log_odds, observed, dirty, esdf_dirty,
 
 @functools.partial(jax.jit,
                    static_argnames=("lidar", "voxel_size_m", "params",
-                                    "max_blocks"),
+                                    "max_blocks", "use_pallas"),
                    donate_argnums=(0, 1, 2, 3, 4))
 def _integrate_lidar_fused(state, distance, weight, dirty, esdf_dirty,
                            range_image, T_L_S, *, lidar, voxel_size_m: float,
-                           params, max_blocks: int):
+                           params, max_blocks: int, use_pallas: bool = False):
     """lidar view grid -> allocate -> batch -> spherical TSDF fuse.
 
     Fully device-resident lidar integration (parity:
     nvblox_node.cpp:1382-1384)."""
-    from isaac_ros_nvblox_tpu.ops.tsdf import integrate_tsdf_lidar
     grid, origin = view_ops.touched_block_grid_lidar(
         range_image, T_L_S, lidar=lidar, voxel_size_m=voxel_size_m,
         max_distance_m=params.max_integration_distance_m,
         truncation_m=params.truncation_m(voxel_size_m))
     state, slots, bidx, _ = wg.allocate_and_batch(
         state, grid, origin, max_blocks=max_blocks)
-    distance, weight = integrate_tsdf_lidar(
-        distance, weight, slots, bidx, range_image, T_L_S, lidar=lidar,
-        voxel_size_m=voxel_size_m, params=params)
+    if use_pallas:
+        from isaac_ros_nvblox_tpu.ops.lidar_pallas import (
+            integrate_tsdf_lidar_pallas)
+        distance, weight = integrate_tsdf_lidar_pallas(
+            distance, weight, slots, bidx, range_image, T_L_S, lidar=lidar,
+            voxel_size_m=voxel_size_m, params=params)
+    else:
+        from isaac_ros_nvblox_tpu.ops.tsdf import integrate_tsdf_lidar
+        distance, weight = integrate_tsdf_lidar(
+            distance, weight, slots, bidx, range_image, T_L_S, lidar=lidar,
+            voxel_size_m=voxel_size_m, params=params)
     dirty = dirty.at[slots].set(True, mode="drop")
     esdf_dirty = esdf_dirty.at[slots].set(True, mode="drop")
     return state, distance, weight, dirty, esdf_dirty
@@ -849,13 +856,16 @@ class DeviceMapper:
                 jnp.asarray(T_L_S_end, jnp.float32), lidar)
             T_L_S = jnp.asarray(T_L_S_end, jnp.float32)
         range_image = pointcloud_to_range_image(points, lidar)
+        use_pallas = (jax.default_backend() == "tpu"
+                      if self.use_pallas_integrate is None
+                      else self.use_pallas_integrate)
         (self.state, d, w, self.dirty,
          self.esdf_dirty) = _integrate_lidar_fused(
             self.state, self.channels["tsdf_distance"],
             self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
             range_image, T_L_S, lidar=lidar,
             voxel_size_m=self.voxel_size_m, params=self.params.projective,
-            max_blocks=self.max_blocks_per_frame)
+            max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas)
         self.channels["tsdf_distance"] = d
         self.channels["tsdf_weight"] = w
 

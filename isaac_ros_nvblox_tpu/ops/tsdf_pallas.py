@@ -263,9 +263,17 @@ def footprint_prepass(slots, block_indices, T_L_C, *, camera: Camera,
     in_view = ((pcz > 1e-6) & (u >= 0.0) & (u <= W - 1.0)
                & (v >= 0.0) & (v <= H - 1.0))
     inv_scale = scale[:, None]
-    ut = (jnp.round(u * inv_scale).astype(jnp.int32)
-          - u0[:, None] - shift[:, None])
-    vt = jnp.round(v * inv_scale).astype(jnp.int32) - v0[:, None]
+    # Clamp to each level's REAL decimated extent: at the image edge,
+    # round(coord * scale) can overshoot the last decimated pixel by one
+    # (the nearest-sampling clip the XLA path applies at full resolution).
+    real_w = jnp.asarray([(W + (1 << l) - 1) >> l for l in range(N_LEVELS)])
+    real_h = jnp.asarray([(H + (1 << l) - 1) >> l for l in range(N_LEVELS)])
+    u_lvl = jnp.clip(jnp.round(u * inv_scale).astype(jnp.int32), 0,
+                     real_w[level][:, None] - 1)
+    v_lvl = jnp.clip(jnp.round(v * inv_scale).astype(jnp.int32), 0,
+                     real_h[level][:, None] - 1)
+    ut = u_lvl - u0[:, None] - shift[:, None]
+    vt = v_lvl - v0[:, None]
     ok = (in_view & (valid[:, None] > 0)
           & (ut >= 0) & (ut < UW) & (vt >= 0) & (vt < TILE_V))
     ut = jnp.where(ok, ut, -1)
@@ -303,6 +311,21 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
      pcz) = footprint_prepass(slots, block_indices, T_L_C, camera=camera,
                               voxel_size_m=voxel_size_m, cap=cap, H=H, W=W)
 
+    return _run_fusion_kernel(
+        distance, weight, slots, safe_slots, levels, level, u0, v0, shift,
+        valid, ut, vt, pcz, voxel_size_m=voxel_size_m, params=params,
+        interpret=interpret, ablate=ablate)
+
+
+def _run_fusion_kernel(distance, weight, slots, safe_slots, levels, level,
+                       u0, v0, shift, valid, ut, vt, pcz, *,
+                       voxel_size_m: float, params: TsdfIntegratorParams,
+                       interpret: bool, ablate: str = ""):
+    """Shared pallas_call for the TSDF fusion kernel: consumes a prepared
+    footprint-window prepass (camera OR lidar — `pcz` is the measurement
+    axis: z-depth for the pinhole model, range for the spherical one) and
+    the decimated sampling pyramid."""
+    N = slots.shape[0]
     scalars = jnp.asarray(
         [params.truncation_m(voxel_size_m),
          params.max_integration_distance_m, params.max_weight,
