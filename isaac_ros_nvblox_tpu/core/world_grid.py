@@ -162,7 +162,16 @@ def allocate_and_batch(state: WorldGridState, mask_grid, mask_origin_block,
     touched, st = _mask_window(mask_grid, mask_origin_block, state)
     Wx, Wy, Wz = touched.shape
     flat = touched.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=max_blocks, fill_value=flat.shape[0] - 1)
+    # Compact touched cells with a SORT instead of jnp.nonzero: nonzero
+    # lowers to a cumsum + a serializing element scatter (~0.2 ms at this
+    # window size on TPU), while a bitonic sort of the masked iota is
+    # vectorized. Ascending sort puts touched cells first in scan order —
+    # identical output to nonzero(size=, fill_value=M-1).
+    M = flat.shape[0]
+    big = jnp.int32(2 ** 30)
+    keys = jnp.where(flat, jnp.arange(M, dtype=jnp.int32), big)
+    keys = jax.lax.sort(keys)[:max_blocks]
+    idx = jnp.where(keys < big, keys, M - 1)
     n_touched = jnp.sum(flat.astype(jnp.int32))
     n_sel = jnp.minimum(n_touched, max_blocks)
     lane = jnp.arange(max_blocks) < n_sel
@@ -277,8 +286,14 @@ def view_batch(state: WorldGridState, mask_grid, mask_origin_block,
                           jnp.asarray(state.slot_grid.shape, jnp.int32) - 1)
     slot = state.slot_grid[safe_cells[:, 0], safe_cells[:, 1], safe_cells[:, 2]]
     good = touched & in_bounds & (slot >= 0)
-    (idx,) = jnp.nonzero(good, size=max_blocks, fill_value=good.shape[0] - 1)
-    # fill_value may point at a real cell; mask separately.
+    # Sort-based compaction (see allocate_and_batch: nonzero lowers to a
+    # serializing scatter on TPU).
+    M = good.shape[0]
+    big = jnp.int32(2 ** 30)
+    keys = jnp.where(good, jnp.arange(M, dtype=jnp.int32), big)
+    keys = jax.lax.sort(keys)[:max_blocks]
+    idx = jnp.where(keys < big, keys, M - 1)
+    # fill may point at a real cell; mask separately.
     n_valid = jnp.sum(good.astype(jnp.int32))
     lane = jnp.arange(max_blocks) < n_valid
     slots = jnp.where(lane, slot[idx], cap)

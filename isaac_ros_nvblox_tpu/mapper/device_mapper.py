@@ -211,7 +211,10 @@ def _free_mask(state, channels, dirty, esdf_dirty, removed, dead, *,
     layer_publishing.cpp:715-716)."""
     cap = dead.shape[0]
     log, count = removed
-    (idx,) = jnp.nonzero(dead, size=max_free, fill_value=cap)
+    big = jnp.int32(2 ** 30)
+    keys = jnp.where(dead, jnp.arange(cap, dtype=jnp.int32), big)
+    keys = jax.lax.sort(keys)[:max_free]
+    idx = jnp.where(keys < big, keys, cap)
     ok = idx < cap
     bidx_freed = state.block_index_of_slot[jnp.clip(idx, 0, cap - 1)]
     order = jnp.cumsum(ok.astype(jnp.int32)) - 1
@@ -650,7 +653,11 @@ def _compact_dirty_impl(state, dirty, *, max_blocks: int):
                 expanded = expanded | shifted
     slot_dirty = expanded[cells[:, 0], cells[:, 1], cells[:, 2]] \
         & (jnp.arange(cap) < state.alloc_count)
-    (idx,) = jnp.nonzero(slot_dirty, size=max_blocks, fill_value=cap - 1)
+    # Sort-based compaction (nonzero lowers to a serializing scatter).
+    big = jnp.int32(2 ** 30)
+    keys = jnp.where(slot_dirty, jnp.arange(cap, dtype=jnp.int32), big)
+    keys = jax.lax.sort(keys)[:max_blocks]
+    idx = jnp.where(keys < big, keys, cap - 1)
     n = jnp.sum(slot_dirty.astype(jnp.int32))
     lane = jnp.arange(max_blocks) < n
     slots = jnp.where(lane, idx, cap)
