@@ -44,7 +44,10 @@ def save_map(mapper, path) -> None:
     }
     payload["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
-    np.savez_compressed(path, **payload)
+    # File handle: np.savez_compressed(path) appends ".npz" to other
+    # suffixes, which would break .nvblx roundtrips.
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **payload)
 
 
 def load_map(mapper, path) -> int:

@@ -305,7 +305,11 @@ def save_map_device(m, path) -> None:
     }
     payload["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
-    np.savez_compressed(path, **payload)
+    # Write through a file handle: np.savez_compressed(path) silently
+    # appends ".npz" to non-.npz paths, breaking the .nvblx save/load
+    # roundtrip the node services expose (save_map service parity).
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **payload)
 
 
 def load_map_device(m, path) -> int:

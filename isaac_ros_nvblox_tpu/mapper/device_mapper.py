@@ -656,7 +656,12 @@ def _compact_dirty_impl(state, dirty, *, max_blocks: int):
     # Sort-based compaction (nonzero lowers to a serializing scatter).
     big = jnp.int32(2 ** 30)
     keys = jnp.where(slot_dirty, jnp.arange(cap, dtype=jnp.int32), big)
-    keys = jax.lax.sort(keys)[:max_blocks]
+    keys = jax.lax.sort(keys)[:min(max_blocks, cap)]
+    if keys.shape[0] < max_blocks:
+        # Small-capacity mappers (cap < max_blocks): pad with sentinels so
+        # the compacted batch keeps its static max_blocks shape.
+        keys = jnp.concatenate(
+            [keys, jnp.full((max_blocks - keys.shape[0],), big, jnp.int32)])
     idx = jnp.where(keys < big, keys, cap - 1)
     n = jnp.sum(slot_dirty.astype(jnp.int32))
     lane = jnp.arange(max_blocks) < n

@@ -261,3 +261,26 @@ def test_occupancy_decay_to_free():
                       / (1 - p_free.free_region_decay_probability))
     np.testing.assert_allclose(np.asarray(out_f)[0], target, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_u)[0], 0.0, atol=1e-5)
+
+
+def test_compact_dirty_small_capacity_mapper():
+    """Regression: _compact_dirty with max_blocks > world capacity (e.g. a
+    fused-submap mapper with a small pool) must keep static shapes instead
+    of crashing (r2 verdict weak #1)."""
+    small = wg.WorldGridConfig(dims=(16, 16, 16), capacity=256,
+                               origin_block=(-8, -8, -4))
+    m = _mapper(world=small, max_blocks_per_frame=2048)
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    assert m.block_count() > 0
+    # update_mesh_dirty_device drove the crash: compaction with
+    # max_blocks=2048 > capacity=256.
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import _compact_dirty_impl
+    slots, bidx = _compact_dirty_impl(m.state, m.dirty, max_blocks=2048)
+    assert slots.shape == (2048,)
+    assert bidx.shape == (2048, 3)
+    n_live = int(jnp.sum(slots < small.capacity))
+    assert 0 < n_live <= m.block_count()
+    # Live prefix indexes real allocated slots.
+    live = np.asarray(slots[:n_live])
+    assert (live < int(m.state.alloc_count)).all()

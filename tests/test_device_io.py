@@ -148,8 +148,9 @@ def test_device_map_save_load_roundtrip(tmp_path):
     m.update_esdf()
     n0 = m.block_count()
     d0 = np.asarray(m.channels["tsdf_distance"]).copy()
-    path = tmp_path / "map.npz"
+    path = tmp_path / "map.nvblx"  # regression: exact-path save
     dio.save_map_device(m, path)
+    assert path.exists()
 
     m2 = DeviceMapper(voxel_size_m=VOXEL, world=WORLD, enable_color=True,
                       enable_esdf=True)

@@ -50,8 +50,11 @@ def test_save_load_map_roundtrip(tmp_path):
     slots, _ = m1.table.allocate(idx)
     m1.pool["tsdf_distance"] = m1.pool["tsdf_distance"].at[slots[0], 7].set(0.33)
     m1.pool["tsdf_weight"] = m1.pool["tsdf_weight"].at[slots[0], 7].set(2.0)
-    p = tmp_path / "map.npz"
+    # .nvblx (the reference map suffix): regression for
+    # np.savez_compressed appending ".npz" to foreign suffixes.
+    p = tmp_path / "map.nvblx"
     save_map(m1, p)
+    assert p.exists()
 
     m2 = Mapper(voxel_size_m=0.05, capacity=64, enable_color=True,
                 enable_esdf=True)
@@ -65,8 +68,11 @@ def test_save_load_map_roundtrip(tmp_path):
 
 def test_load_map_rejects_mismatched_voxel_size(tmp_path):
     m1 = Mapper(voxel_size_m=0.05, capacity=16)
-    p = tmp_path / "map.npz"
+    # .nvblx (the reference map suffix): regression for
+    # np.savez_compressed appending ".npz" to foreign suffixes.
+    p = tmp_path / "map.nvblx"
     save_map(m1, p)
+    assert p.exists()
     m2 = Mapper(voxel_size_m=0.1, capacity=16)
     with pytest.raises(ValueError, match="voxel size"):
         load_map(m2, p)
