@@ -148,19 +148,26 @@ def _integrate_occupancy_fused(state, log_odds, observed, dirty, esdf_dirty,
 
 @functools.partial(jax.jit,
                    static_argnames=("lidar", "voxel_size_m", "params",
-                                    "max_blocks", "use_pallas"),
+                                    "max_blocks", "use_pallas",
+                                    "view_params"),
                    donate_argnums=(0, 1, 2, 3, 4))
 def _integrate_lidar_fused(state, distance, weight, dirty, esdf_dirty,
                            range_image, T_L_S, *, lidar, voxel_size_m: float,
-                           params, max_blocks: int, use_pallas: bool = False):
+                           params, max_blocks: int, use_pallas: bool = False,
+                           view_params=None):
     """lidar view grid -> allocate -> batch -> spherical TSDF fuse.
 
     Fully device-resident lidar integration (parity:
-    nvblox_node.cpp:1382-1384)."""
+    nvblox_node.cpp:1382-1384). `view_params` applies the workspace bounds,
+    like the camera path (mapper_initialization.cpp:330-358 applies them to
+    ALL projective integration, lidar included)."""
     grid, origin = view_ops.touched_block_grid_lidar(
         range_image, T_L_S, lidar=lidar, voxel_size_m=voxel_size_m,
         max_distance_m=params.max_integration_distance_m,
         truncation_m=params.truncation_m(voxel_size_m))
+    if view_params is not None:
+        grid = view_ops.apply_workspace_bounds_to_grid(
+            grid, origin, voxel_size_m=voxel_size_m, params=view_params)
     state, slots, bidx, _ = wg.allocate_and_batch(
         state, grid, origin, max_blocks=max_blocks)
     if use_pallas:
@@ -358,9 +365,15 @@ def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
         max_distance_m=view_distance_m,
         truncation_m=2 * voxel_size_m, subsample=1)
     slots, bidx, _ = wg.view_batch(state, grid, origin, max_blocks=max_blocks)
+    d_rows = None
     if params.check_neighborhood:
         # A voxel counts as occupied if any 3^3 neighbor is occupied:
-        # dilate the occupancy indicator across the +-1 halo.
+        # dilate the occupancy indicator across the +-1 halo. Measured on
+        # v5e (64-step scans, /tmp halo ablation): sliced halo gather 1.9 ms
+        # vs 12.5 ms for the 27-row-gather + concat form (the (N,10,10,10)
+        # concat tree lowers to layout-hostile copies); the separable
+        # slice-max dilation replaces a reduce_window whose tiny (1,3,3,3)
+        # window cost ~8 ms on that layout.
         from isaac_ros_nvblox_tpu.ops.halo import gather_halo_sliced
         cap = tsdf_distance.shape[0]
         occ = ((tsdf_distance < params.max_tsdf_distance_for_occupancy_m)
@@ -368,21 +381,43 @@ def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
         nbrs = wg.neighbor_slots_of(state, bidx)
         pad = gather_halo_sliced(occ.reshape(cap, B, B, B), nbrs,
                                  lo=1, hi=1, fill=0.0)
-        dil = jax.lax.reduce_window(
-            pad, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "VALID")
+        t = jnp.maximum(jnp.maximum(pad[..., 0:8], pad[..., 1:9]),
+                        pad[..., 2:10])
+        t = jnp.maximum(jnp.maximum(t[:, :, 0:8], t[:, :, 1:9]),
+                        t[:, :, 2:10])
+        dil = jnp.maximum(jnp.maximum(t[:, 0:8], t[:, 1:9]), t[:, 2:10])
         occ_dilated = dil.reshape(-1, B ** 3) > 0.5
-        # Present to the state machine as a distance: occupied -> below
-        # threshold, free -> far.
-        eff_distance = tsdf_distance.at[slots].set(
-            jnp.where(occ_dilated,
-                      params.max_tsdf_distance_for_occupancy_m - 1.0,
-                      1e3), mode="drop")
-    else:
-        eff_distance = tsdf_distance
+        # Present to the state machine as a pre-gathered batch of effective
+        # distances: occupied -> below threshold, free -> far (avoids a
+        # full-capacity modified channel copy).
+        d_rows = jnp.where(occ_dilated,
+                           params.max_tsdf_distance_for_occupancy_m - 1.0,
+                           1e3)
     return update_freespace(
-        consecutive_ms, last_occupied_ms, high_confidence, eff_distance,
+        consecutive_ms, last_occupied_ms, high_confidence, tsdf_distance,
         tsdf_weight, slots, bidx, T_L_C, time_ms, last_update_ms,
-        camera=camera, voxel_size_m=voxel_size_m, params=params)
+        camera=camera, voxel_size_m=voxel_size_m, params=params,
+        distance_rows=d_rows)
+
+
+@jax.jit
+def _splice_2d(sq_old, in_old, ob_old, sq_r, in_r, ob_r, off, c_lo, c_hi):
+    """Splice the compute window C of a region-solved 2D field into the
+    stored full-frame field. `off` (i32[2], voxels) places the read window
+    R in the full frame; `c_lo`/`c_hi` (i32[2], voxels) bound C within R
+    (half-open). Only C is spliced — R's border ring may be inexact (sites
+    outside R within the band)."""
+    ix = jnp.arange(sq_r.shape[0])[:, None]
+    iy = jnp.arange(sq_r.shape[1])[None, :]
+    in_c = ((ix >= c_lo[0]) & (ix < c_hi[0])
+            & (iy >= c_lo[1]) & (iy < c_hi[1]))
+
+    def put(old, new):
+        cur = jax.lax.dynamic_slice(old, (off[0], off[1]), new.shape)
+        merged = jnp.where(in_c, new, cur)
+        return jax.lax.dynamic_update_slice(old, merged, (off[0], off[1]))
+
+    return put(sq_old, sq_r), put(in_old, in_r), put(ob_old, ob_r)
 
 
 @jax.jit
@@ -746,6 +781,9 @@ class DeviceMapper:
         # True once a full-AABB ESDF solve has run (incremental updates are
         # only exact relative to a previous full solve).
         self._esdf_has_full = False
+        # 2D-ESDF grid frame of the last full solve (origin/dims/heights);
+        # a mismatch forces a full 2D re-solve (see update_esdf_2d).
+        self._esdf2d_frame = None
         # Host-tracked block AABBs (np arrays or None): allocated high-water
         # and dirty-since-last-ESDF. Maintained from host-side pose
         # geometry so the ESDF update never needs a device->host sync
@@ -753,6 +791,10 @@ class DeviceMapper:
         # unknown poses (device-resident) fall back to a stats sync.
         self._aabb_lo = self._aabb_hi = None
         self._dirty_lo = self._dirty_hi = None
+        # The planar field keeps its own dirty window: a 3D solve (e.g. the
+        # esdf_and_gradients service) must not starve the 2D costmap path
+        # of its dirty region, or vice versa.
+        self._dirty2d_lo = self._dirty2d_hi = None
         self._region_unknown = False
         # Host-side cached allocation count (refreshed at esdf/mesh rate).
         self._count_cache = 0
@@ -877,7 +919,8 @@ class DeviceMapper:
             self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
             range_image, T_L_S, lidar=lidar,
             voxel_size_m=self.voxel_size_m, params=self.params.projective,
-            max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas)
+            max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas,
+            view_params=self._view_bounds())
         self.channels["tsdf_distance"] = d
         self.channels["tsdf_weight"] = w
 
@@ -1047,6 +1090,11 @@ class DeviceMapper:
         else:
             self._dirty_lo = np.minimum(self._dirty_lo, lo)
             self._dirty_hi = np.maximum(self._dirty_hi, hi)
+        if self._dirty2d_lo is None:
+            self._dirty2d_lo, self._dirty2d_hi = lo.copy(), hi.copy()
+        else:
+            self._dirty2d_lo = np.minimum(self._dirty2d_lo, lo)
+            self._dirty2d_hi = np.maximum(self._dirty2d_hi, hi)
 
     def _refresh_region_from_device(self) -> bool:
         """Fallback: one device->host sync to learn the allocated AABB (used
@@ -1131,12 +1179,21 @@ class DeviceMapper:
         self._dirty_lo = self._dirty_hi = None
         self._esdf_has_full = self._esdf_has_full or full
 
-    def update_esdf_2d(self, min_height_m: float, max_height_m: float) -> None:
+    def update_esdf_2d(self, min_height_m: float, max_height_m: float,
+                       full: Optional[bool] = None) -> None:
         """2D ESDF (EsdfMode 2d): sites restricted to the height band
         [min_height_m, max_height_m], planar distances (parity:
         mapper_initialization.cpp:197-200; the esdf_2d_min/max_height
         params). Result stored as self.esdf_2d = (origin_xy_blocks, sq2d,
-        inside2d, observed2d) for the 2D slicer."""
+        inside2d, observed2d) for the 2D slicer.
+
+        Incremental like the 3D path: once a full solve exists for the
+        current grid frame (allocated-XY AABB + height band), later calls
+        re-solve only the dirty-block XY AABB + band margin and splice
+        (exact: a site only influences distances within `band`). A frame
+        change (AABB growth, band move — e.g. a new ground-plane estimate)
+        forces a full solve.
+        """
         from isaac_ros_nvblox_tpu.ops.esdf_dense import (collapse_2d_mask,
                                                          esdf_2d_from_sites)
         if self._region_unknown and not self._refresh_region_from_device():
@@ -1145,10 +1202,16 @@ class DeviceMapper:
             return
         ep = self.params.esdf
         band = self.esdf_band_vox
+        mb = (band + 7) // 8
         a_lo, a_hi = self._aabb_lo, self._aabb_hi
-        dims_b = (_bucket_blocks(int(a_hi[0] - a_lo[0] + 1)),
-                  _bucket_blocks(int(a_hi[1] - a_lo[1] + 1)))
-        origin = jnp.asarray([a_lo[0], a_lo[1], 0], jnp.int32)
+        dims_full = (_bucket_blocks(int(a_hi[0] - a_lo[0] + 1)),
+                     _bucket_blocks(int(a_hi[1] - a_lo[1] + 1)))
+        frame = (int(a_lo[0]), int(a_lo[1]), dims_full,
+                 float(min_height_m), float(max_height_m))
+        if full is None:
+            full = self._esdf2d_frame != frame
+        if not full and self._dirty2d_lo is None:
+            return  # nothing changed since the last 2D solve
         if self._is_occupancy:
             is_site, is_inside, observed = esdf_ops.esdf_sites_from_occupancy(
                 self.channels["occupancy_log_odds"],
@@ -1165,6 +1228,25 @@ class DeviceMapper:
             self.state, jnp.float32(min_height_m),
             jnp.float32(max_height_m), voxel_size_m=self.voxel_size_m)
         interp = jax.default_backend() != "tpu"
+
+        if full:
+            r_lo = np.asarray([a_lo[0], a_lo[1]], np.int64)
+            dims_b = dims_full
+        else:
+            d_lo, d_hi = self._dirty2d_lo[:2], self._dirty2d_hi[:2]
+            al2, ah2 = np.asarray(a_lo[:2]), np.asarray(a_hi[:2])
+            c_lo = np.minimum(np.maximum(d_lo - mb, al2), d_lo)
+            c_hi = np.maximum(np.minimum(d_hi + mb, ah2), d_hi)
+            r_lo = np.minimum(np.maximum(c_lo - mb, al2), c_lo)
+            r_hi = np.maximum(np.minimum(c_hi + mb, ah2), c_hi)
+            dims_b = tuple(_bucket_blocks(int(h - l + 1))
+                           for l, h in zip(r_lo, r_hi))
+            # Keep the (bucket-padded) read window inside the stored grid
+            # so the splice offsets stay in range.
+            r_lo = np.minimum(r_lo, al2 + np.asarray(dims_full)
+                              - np.asarray(dims_b))
+
+        origin = jnp.asarray([r_lo[0], r_lo[1], 0], jnp.int32)
         sq2d = esdf_2d_from_sites(
             is_site, z_ok, self.state.block_index_of_slot,
             self.state.alloc_count, origin, dims_b=dims_b, band=band,
@@ -1175,8 +1257,22 @@ class DeviceMapper:
         observed2d = collapse_2d_mask(
             observed, z_ok, self.state.block_index_of_slot,
             self.state.alloc_count, origin, dims_b=dims_b)
-        self.esdf_2d = ((int(a_lo[0]), int(a_lo[1])), sq2d, inside2d,
-                        observed2d)
+        if full:
+            self.esdf_2d = ((int(a_lo[0]), int(a_lo[1])), sq2d, inside2d,
+                            observed2d)
+        else:
+            _, sq_old, in_old, ob_old = self.esdf_2d
+            off = jnp.asarray((r_lo - np.asarray(a_lo[:2])) * B, jnp.int32)
+            cl = jnp.asarray((c_lo - r_lo) * B, jnp.int32)
+            ch = jnp.asarray((c_hi + 1 - r_lo) * B, jnp.int32)
+            sq_new, in_new, ob_new = _splice_2d(
+                sq_old, in_old, ob_old, sq2d, inside2d, observed2d,
+                off, cl, ch)
+            self.esdf_2d = (self.esdf_2d[0], sq_new, in_new, ob_new)
+        self.esdf_2d_frame_heights = (float(min_height_m),
+                                      float(max_height_m))
+        self._esdf2d_frame = frame
+        self._dirty2d_lo = self._dirty2d_hi = None
 
     # --------------------------------------------------------------- replay
     def esdf_region(self, margin_blocks: int = 2):

@@ -35,8 +35,9 @@ from isaac_ros_nvblox_tpu.models.camera import Camera, sample_image_nearest
 from isaac_ros_nvblox_tpu.models.lidar import Lidar
 from isaac_ros_nvblox_tpu.ops.ground_plane import (GroundPlaneEstimator,
                                                    Plane)
-from isaac_ros_nvblox_tpu.ops.masking import (mask_overlay,
-                                              remove_small_connected_components)
+from isaac_ros_nvblox_tpu.ops.masking import (
+    mask_overlay, remove_small_connected_components,
+    remove_small_connected_components_device)
 
 
 def _default_world(capacity: int) -> wg.WorldGridConfig:
@@ -115,16 +116,16 @@ def _detect_dynamic_fused(state, high_confidence, depth, T_L_C, *,
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "voxel_size_m", "static_params", "occ_params",
-                     "free_params", "max_blocks", "use_pallas",
-                     "max_depth_m", "detect_subsample"),
+                     "free_params", "max_blocks", "dyn_max_blocks",
+                     "use_pallas", "max_depth_m", "detect_subsample"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
                          d_state, d_ch, d_dirty, d_edirty,
                          depths, T_L_Cs, times_ms, last_ms0, *,
                          camera: Camera, voxel_size_m: float, static_params,
                          occ_params, free_params, max_blocks: int,
-                         use_pallas: bool, max_depth_m: float,
-                         detect_subsample: int = 1):
+                         dyn_max_blocks: int, use_pallas: bool,
+                         max_depth_m: float, detect_subsample: int = 1):
     """The WHOLE dynamic pipeline in ONE device program (lax.scan):
     freespace-driven dynamic detection -> masked static TSDF (background)
     -> masked dynamic occupancy (foreground) -> freespace update. The
@@ -136,10 +137,18 @@ def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
     def step(carry, inp):
         ss, sch, sd, sed, ds, dch, dd, ded, last_ms = carry
         depth, T, t_ms = inp
-        mask, _ = _detect_dynamic_fused(
-            ss, sch["freespace_high_confidence"], depth, T, camera=camera,
-            voxel_size_m=voxel_size_m, max_depth_m=max_depth_m,
-            subsample=detect_subsample)
+        if use_pallas:
+            from isaac_ros_nvblox_tpu.ops.detect_pallas import (
+                detect_dynamic_fused_pallas)
+            mask = detect_dynamic_fused_pallas(
+                ss, sch["freespace_high_confidence"], depth, T,
+                camera=camera, voxel_size_m=voxel_size_m,
+                max_depth_m=max_depth_m, max_blocks=max_blocks)
+        else:
+            mask, _ = _detect_dynamic_fused(
+                ss, sch["freespace_high_confidence"], depth, T,
+                camera=camera, voxel_size_m=voxel_size_m,
+                max_depth_m=max_depth_m, subsample=detect_subsample)
         mask_u8 = mask.astype(jnp.uint8)
         ss, d, w, sd, sed = dm._integrate_frame_fused(
             ss, sch["tsdf_distance"], sch["tsdf_weight"], sd, sed, depth, T,
@@ -201,6 +210,7 @@ class MultiMapper:
                 voxel_size_m=p.voxel_size_m, params=p.dynamic_mapper,
                 projective_layer=ProjectiveLayerType.OCCUPANCY,
                 world=dyn_world, enable_color=False, enable_esdf=True,
+                max_blocks_per_frame=p.dynamic_max_blocks_per_frame,
                 name="dynamic_mapper")
 
         self.default_lidar = Lidar.equal_vertical_fov(
@@ -209,11 +219,13 @@ class MultiMapper:
         # Ground-plane estimation (parity: multi_mapper.ground_plane_
         # estimator(), fed to ESDF slicing — nvblox_node.cpp:1455-1474).
         self.ground_plane_estimator = GroundPlaneEstimator()
-        # Debug outputs (parity: getLastDynamicPointcloud etc.).
-        self.last_dynamic_pointcloud: Optional[np.ndarray] = None
-        self.last_dynamic_mask: Optional[np.ndarray] = None
-        self.last_mask_overlay: Optional[np.ndarray] = None
-        self.last_depth_foreground: Optional[np.ndarray] = None
+        # Debug outputs (parity: getLastDynamicPointcloud etc.). Stored as
+        # DEVICE arrays; the host-facing properties below sync lazily so
+        # the per-frame path never pays a device->host readback.
+        self._last_dynamic_mask_dev = None
+        self._last_depth_dev = None
+        self._last_T_L_C = None
+        self._last_camera: Optional[Camera] = None
 
     # -------------------------------------------------------------- helpers
     def background_mapper(self) -> DeviceMapper:
@@ -242,22 +254,26 @@ class MultiMapper:
             self.static_mapper.integrate_depth(depth_j, T_L_C, camera)
             return
 
+        # The whole dynamic tick stays on device: detection, mask
+        # reprojection, the CC filter and the split integrations dispatch
+        # without a single device->host readback (each sync costs ~30 ms on
+        # tunneled devices; parity target: the reference's 1.7 ms dynamics
+        # row runs entirely on-GPU, nvblox_node.cpp:1057-1147).
         if self.uses_freespace and mask is None:
-            mask = self.detect_dynamic(depth_j, T_L_C, camera)
-        if mask is None:
-            mask = np.zeros(np.asarray(depth).shape, np.uint8)
+            mask_j = self.detect_dynamic(depth_j, T_L_C, camera)
+        elif mask is None:
+            mask_j = jnp.zeros(depth_j.shape, jnp.uint8)
         else:
+            mask_j = jnp.asarray(mask)
             if mask_camera is not None and T_CM_CD is not None:
-                mask = np.asarray(reproject_mask(
-                    depth_j, jnp.asarray(mask),
-                    jnp.asarray(T_CM_CD, jnp.float32),
-                    depth_camera=camera, mask_camera=mask_camera))
-            if self.params.static_mapper.remove_small_connected_components:
-                mask = remove_small_connected_components(
-                    np.asarray(mask), self.params.static_mapper
-                    .connected_mask_component_size_threshold)
+                mask_j = reproject_mask(
+                    depth_j, mask_j, jnp.asarray(T_CM_CD, jnp.float32),
+                    depth_camera=camera, mask_camera=mask_camera)
+        if self.params.static_mapper.remove_small_connected_components:
+            mask_j = remove_small_connected_components_device(
+                mask_j, self.params.static_mapper
+                .connected_mask_component_size_threshold)
 
-        mask_j = jnp.asarray(mask)
         self.static_mapper.integrate_depth(depth_j, T_L_C, camera,
                                            mask=mask_j, mask_mode=1)
         if self.dynamic_mapper is not None:
@@ -265,11 +281,12 @@ class MultiMapper:
                                                 mask=mask_j, mask_mode=2)
         if self.uses_freespace:
             self.static_mapper.update_freespace(time_ms, T_L_C, camera)
-        self.last_dynamic_mask = np.asarray(mask)
-        self.last_depth_foreground = np.asarray(
-            jnp.where(mask_j > 0, depth_j, 0.0))
-        self.last_mask_overlay = np.asarray(mask_overlay(
-            jnp.clip(depth_j * 50.0, 0, 255), mask_j))
+        # Debug outputs stay device-resident; the lazy getters sync only
+        # when a subscriber actually asks (publish cadence).
+        self._last_dynamic_mask_dev = mask_j
+        self._last_depth_dev = depth_j
+        self._last_T_L_C = T_L_C
+        self._last_camera = camera
 
     def integrate_color(self, color, T_L_C, camera: Camera,
                         mask: Optional[np.ndarray] = None,
@@ -277,8 +294,8 @@ class MultiMapper:
         if self.static_mapper.projective_layer != ProjectiveLayerType.TSDF:
             return
         if mask is not None:
-            color = np.asarray(color).copy()
-            color[np.asarray(mask) > 0] = 0
+            color = jnp.where(jnp.asarray(mask)[..., None] > 0, 0,
+                              jnp.asarray(color))
         self.static_mapper.integrate_color(color, T_L_C, camera, depth=depth)
 
     def integrate_pointcloud(self, points, T_L_S,
@@ -315,7 +332,8 @@ class MultiMapper:
             static_params=sm.params.projective,
             occ_params=dmap.params.occupancy,
             free_params=sm.params.freespace,
-            max_blocks=sm.max_blocks_per_frame, use_pallas=use_pallas,
+            max_blocks=sm.max_blocks_per_frame,
+            dyn_max_blocks=dmap.max_blocks_per_frame, use_pallas=use_pallas,
             max_depth_m=float(sm.params.projective
                               .max_integration_distance_m),
             detect_subsample=int(self.params.dynamic_detection_subsample))
@@ -324,25 +342,75 @@ class MultiMapper:
         dmap._region_unknown = True
 
     # -------------------------------------------------------------- dynamic
-    def detect_dynamic(self, depth, T_L_C, camera: Camera) -> np.ndarray:
-        """Dynamic-pixel mask from high-confidence freespace (device)."""
+    def detect_dynamic(self, depth, T_L_C, camera: Camera) -> jnp.ndarray:
+        """Dynamic-pixel mask from high-confidence freespace.
+
+        Returns a DEVICE uint8 mask (no host sync). On TPU backends the
+        gather-free Pallas detector runs (ops/detect_pallas.py); elsewhere
+        the exact per-pixel XLA lookup."""
         m = self.static_mapper
+        depth_j = jnp.asarray(depth, jnp.float32)
         if "freespace_high_confidence" not in m.channels:
-            return np.zeros(np.asarray(depth).shape, np.uint8)
-        mask, p_L = _detect_dynamic_fused(
-            m.state, m.channels["freespace_high_confidence"],
-            jnp.asarray(depth, jnp.float32), jnp.asarray(T_L_C, jnp.float32),
-            camera=camera, voxel_size_m=m.voxel_size_m,
-            max_depth_m=float(
-                m.params.projective.max_integration_distance_m),
-            subsample=int(self.params.dynamic_detection_subsample))
-        mask_np = np.asarray(mask)
-        # p_L holds the (possibly subsampled) lookup points; index it with
-        # the matching strided view of the upsampled mask.
-        s = int(self.params.dynamic_detection_subsample)
-        self.last_dynamic_pointcloud = \
-            np.asarray(p_L)[mask_np[::s, ::s].reshape(-1)]
-        return mask_np.astype(np.uint8)
+            return jnp.zeros(depth_j.shape, jnp.uint8)
+        T_j = jnp.asarray(T_L_C, jnp.float32)
+        maxd = float(m.params.projective.max_integration_distance_m)
+        use_pallas = (jax.default_backend() == "tpu"
+                      if m.use_pallas_integrate is None
+                      else m.use_pallas_integrate)
+        if use_pallas:
+            from isaac_ros_nvblox_tpu.ops.detect_pallas import (
+                detect_dynamic_fused_pallas)
+            mask = detect_dynamic_fused_pallas(
+                m.state, m.channels["freespace_high_confidence"], depth_j,
+                T_j, camera=camera, voxel_size_m=m.voxel_size_m,
+                max_depth_m=maxd, max_blocks=m.max_blocks_per_frame)
+        else:
+            mask, _ = _detect_dynamic_fused(
+                m.state, m.channels["freespace_high_confidence"], depth_j,
+                T_j, camera=camera, voxel_size_m=m.voxel_size_m,
+                max_depth_m=maxd,
+                subsample=int(self.params.dynamic_detection_subsample))
+        return mask.astype(jnp.uint8)
+
+    # Lazy host-facing debug getters (parity: getLastDynamicFrameMask /
+    # getLastDynamicPointcloud / mask overlay getters,
+    # nvblox_node.cpp:1098-1147) — each syncs only when called.
+    @property
+    def last_dynamic_mask(self) -> Optional[np.ndarray]:
+        if self._last_dynamic_mask_dev is None:
+            return None
+        return np.asarray(self._last_dynamic_mask_dev)
+
+    @property
+    def last_depth_foreground(self) -> Optional[np.ndarray]:
+        if self._last_dynamic_mask_dev is None:
+            return None
+        return np.asarray(jnp.where(self._last_dynamic_mask_dev > 0,
+                                    self._last_depth_dev, 0.0))
+
+    @property
+    def last_mask_overlay(self) -> Optional[np.ndarray]:
+        if self._last_dynamic_mask_dev is None:
+            return None
+        return np.asarray(mask_overlay(
+            jnp.clip(self._last_depth_dev * 50.0, 0, 255),
+            self._last_dynamic_mask_dev))
+
+    @property
+    def last_dynamic_pointcloud(self) -> Optional[np.ndarray]:
+        """Back-projected dynamic-pixel points (layer frame) of the last
+        frame — host-side assembly at call time."""
+        if self._last_dynamic_mask_dev is None or self._last_T_L_C is None:
+            return None
+        from isaac_ros_nvblox_tpu.core.types import Transform
+        from isaac_ros_nvblox_tpu.ops.backproject import back_project_depth
+        pts, valid = back_project_depth(self._last_depth_dev,
+                                        camera=self._last_camera)
+        pts = Transform.apply(jnp.asarray(self._last_T_L_C, jnp.float32),
+                              pts)
+        mask_np = (np.asarray(self._last_dynamic_mask_dev) > 0).reshape(-1) \
+            & np.asarray(valid).reshape(-1)
+        return np.asarray(pts)[mask_np]
 
     # --------------------------------------------------------------- update
     def update_esdf(self) -> None:

@@ -106,6 +106,10 @@ class MultiMapperParams:
     dynamic_mapper: MapperParams = dataclasses.field(
         default_factory=lambda: MapperParams(
             projective=TsdfIntegratorParams(max_integration_distance_m=4.0)))
+    # Per-frame block budget of the foreground occupancy mapper: dynamic
+    # objects cover a small masked footprint, so its integration batch (and
+    # kernel grid) can be much smaller than the background mapper's.
+    dynamic_max_blocks_per_frame: int = 512
 
 
 # ---------------------------------------------------------------- overlays

@@ -53,12 +53,16 @@ def update_freespace(consecutive_ms, last_occupied_ms, high_confidence,
                      tsdf_distance, tsdf_weight, slots, block_indices,
                      T_L_C, time_ms, last_update_ms, *,
                      camera: Camera, voxel_size_m: float,
-                     params: FreespaceIntegratorParams
+                     params: FreespaceIntegratorParams,
+                     distance_rows=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One freespace update over the view's blocks at time `time_ms`.
 
     consecutive_ms, last_occupied_ms: f32[cap, 512] (donated).
     high_confidence: bool[cap, 512] (donated).
+    `distance_rows` (f32[N, 512], optional): pre-gathered effective
+    distances for the batch (the device path's neighborhood-dilated values)
+    — avoids materializing a full-capacity modified copy of the channel.
     Returns the three updated channels.
     """
     dt_ms = time_ms - last_update_ms
@@ -67,7 +71,7 @@ def update_freespace(consecutive_ms, last_occupied_ms, high_confidence,
     p_C = Transform.apply(Transform.inverse(T_L_C), centers_L)
     _, in_view = camera.project(p_C)
 
-    d = tsdf_distance[slots]
+    d = tsdf_distance[slots] if distance_rows is None else distance_rows
     w = tsdf_weight[slots]
     observed = in_view & (w > 1e-6)
     occupied_now = observed & (d < params.max_tsdf_distance_for_occupancy_m)

@@ -204,6 +204,61 @@ def touched_block_grid(depth, T_L_C, *, camera: Camera, voxel_size_m: float,
     return touched.reshape(G, G, G), origin_block
 
 
+def footprint_depth_minmax(depth, u, v, footprint):
+    """Per-block (min, max) valid measured depth over the projected pixel
+    footprint — the zero-gather coarse-pyramid sampling of
+    touched_block_grid, with a min pyramid added (invalid pixels never
+    lower the min / raise the max). Conservative: the 3x3-overlap windows
+    are supersets of the footprint, so min <= true min, max >= true max.
+    Blocks whose footprint exceeds the largest window fall back to the
+    frame's global min/max. Out-of-view samples clamp to the border
+    (conservative for callers that also frustum-test).
+
+    Returns (mind f32[N], maxd f32[N]); maxd == 0 where the window holds no
+    valid pixel.
+    """
+    big = jnp.float32(1e6)
+    d_max = jnp.where(jnp.isfinite(depth) & (depth > 0.0), depth, 0.0)
+    d_min = jnp.where(jnp.isfinite(depth) & (depth > 0.0), depth, big)
+    lvl_a, lvl_b = 5, 6
+    coarse_max, coarse_min = {}, {}
+    img_max, img_min = d_max, d_min
+    for lvl in range(lvl_b + 1):
+        if lvl in (lvl_a, lvl_b):
+            coarse_max[lvl] = jax.lax.reduce_window(
+                img_max, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+            coarse_min[lvl] = jax.lax.reduce_window(
+                img_min, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME")
+        img_max = jax.lax.reduce_window(
+            img_max, -jnp.inf, jax.lax.max, (2, 2), (2, 2), "SAME")
+        img_min = jax.lax.reduce_window(
+            img_min, jnp.inf, jax.lax.min, (2, 2), (2, 2), "SAME")
+    global_max = jnp.max(d_max)
+    global_min = jnp.min(d_min)
+
+    def onehot_sample(img_l, lvl):
+        H_l, W_l = img_l.shape
+        cu = jnp.clip((u / (2 ** lvl)).astype(jnp.int32), 0, W_l - 1)
+        cv = jnp.clip((v / (2 ** lvl)).astype(jnp.int32), 0, H_l - 1)
+        cell = cv * W_l + cu
+        iota = jnp.arange(H_l * W_l, dtype=jnp.int32)
+        onehot = (cell[:, None] == iota[None, :]).astype(jnp.bfloat16)
+        return (onehot @ img_l.reshape(-1).astype(jnp.bfloat16)) \
+            .astype(jnp.float32)
+
+    maxd = jnp.where(footprint <= 2.0 ** (lvl_a + 1),
+                     onehot_sample(coarse_max[lvl_a], lvl_a),
+                     jnp.where(footprint <= 2.0 ** (lvl_b + 1),
+                               onehot_sample(coarse_max[lvl_b], lvl_b),
+                               global_max))
+    mind = jnp.where(footprint <= 2.0 ** (lvl_a + 1),
+                     onehot_sample(coarse_min[lvl_a], lvl_a),
+                     jnp.where(footprint <= 2.0 ** (lvl_b + 1),
+                               onehot_sample(coarse_min[lvl_b], lvl_b),
+                               global_min))
+    return mind, maxd
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lidar", "voxel_size_m", "max_distance_m",

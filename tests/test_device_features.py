@@ -284,3 +284,35 @@ def test_compact_dirty_small_capacity_mapper():
     # Live prefix indexes real allocated slots.
     live = np.asarray(slots[:n_live])
     assert (live < int(m.state.alloc_count)).all()
+
+
+def test_workspace_bounds_on_lidar_path():
+    """Workspace bounds apply to lidar integration too
+    (mapper_initialization.cpp:330-358 bounds ALL projective integration)."""
+    from isaac_ros_nvblox_tpu.models.lidar import Lidar
+    from isaac_ros_nvblox_tpu.ops.view import (ViewCalculatorParams,
+                                               WorkspaceBoundsType)
+    lidar = Lidar.equal_vertical_fov(num_azimuth=512, num_elevation=32,
+                                     vertical_fov_rad=np.deg2rad(40.0),
+                                     min_range_m=0.3, max_range_m=20.0)
+    az = np.linspace(-np.pi, np.pi, 1024, endpoint=False)
+    el = np.linspace(-0.25, 0.25, 24)
+    azg, elg = np.meshgrid(az, el)
+    r = 3.0 / np.cos(elg)
+    pts = np.stack([r * np.cos(elg) * np.cos(azg),
+                    r * np.cos(elg) * np.sin(azg),
+                    r * np.sin(elg)], -1).reshape(-1, 3)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 1.0
+    params = MapperParams(view=ViewCalculatorParams(
+        workspace_bounds_type=WorkspaceBoundsType.HEIGHT_BOUNDS,
+        workspace_bounds_min_corner_m=(0, 0, 0.8),
+        workspace_bounds_max_corner_m=(0, 0, 1.6)))
+    m = _mapper(params=params)
+    m.integrate_pointcloud(pts, T, lidar)
+    n = m.block_count()
+    assert n > 0
+    bidx = np.asarray(m.state.block_index_of_slot)[:n]
+    z_lo = bidx[:, 2] * 8 * VOXEL
+    z_hi = z_lo + 8 * VOXEL
+    assert (z_hi > 0.8).all() and (z_lo < 1.6).all()

@@ -179,3 +179,34 @@ def test_mesh_layer_update_and_removals():
     m.clear_outside_radius((0.6, 0.4, 1.0), 0.8)
     removed = dio.update_mesh_layer(m)
     assert len(m.mesh_layer.blocks) < n_blocks0
+
+
+def test_esdf_2d_incremental_matches_full():
+    """Incremental 2D ESDF (dirty-AABB + band re-solve + splice) is
+    bitwise-equal to a full re-solve (the exactness argument of the 3D
+    dirty path applied to the planar field)."""
+    m = _built_mapper(n_frames=4)
+    m.update_esdf_2d(0.8, 1.2)         # full solve (first call)
+    assert m._esdf2d_frame is not None
+
+    # A localized change: a small frame seeing only part of the scene.
+    scene2 = Scene(primitives=(
+        RoomBox(center=(0, 0, 1.5), half_extents=(2.0, 1.8, 1.5)),
+        Sphere(center=(0.6, 0.4, 1.0), radius=0.4),
+        Sphere(center=(-0.5, -0.3, 1.0), radius=0.25)))
+    T = orbit_pose(np.pi / 7, radius=1.2)
+    m.integrate_depth(render_depth(scene2, CAM, jnp.asarray(T)), T, CAM)
+    assert m._dirty_lo is not None     # host-tracked dirty region exists
+
+    m.update_esdf_2d(0.8, 1.2)         # incremental (same frame)
+    _, sq_inc, in_inc, ob_inc = m.esdf_2d
+    m.update_esdf_2d(0.8, 1.2, full=True)
+    _, sq_full, in_full, ob_full = m.esdf_2d
+    np.testing.assert_array_equal(np.asarray(sq_inc), np.asarray(sq_full))
+    np.testing.assert_array_equal(np.asarray(in_inc), np.asarray(in_full))
+    np.testing.assert_array_equal(np.asarray(ob_inc), np.asarray(ob_full))
+
+    # No-op when nothing is dirty: the stored field object is unchanged.
+    before = m.esdf_2d
+    m.update_esdf_2d(0.8, 1.2)
+    assert m.esdf_2d is before

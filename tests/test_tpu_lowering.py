@@ -84,3 +84,20 @@ def test_mesh_kernel_lowers_for_tpu(batch):
                                     jnp.ones((N,), jnp.int32),
                                     min_weight=1e-4, with_color=True)
     _lower(f, z, z)
+
+
+def test_detect_kernel_lowers_for_tpu(batch):
+    from isaac_ros_nvblox_tpu.ops.detect_pallas import detect_dynamic_pallas
+    z, slots, bidx, T = batch
+    from isaac_ros_nvblox_tpu.core.world_grid import (WorldGridConfig,
+                                                      create_world_grid)
+    state = create_world_grid(WorldGridConfig(dims=(16, 16, 16), capacity=CAP,
+                                              origin_block=(-8, -8, -4)))
+    hc = jnp.zeros((CAP, 512), bool)
+    depth = jnp.full((120, 160), 2.0, jnp.float32)
+
+    def f(hc_in):
+        return detect_dynamic_pallas(state, hc_in, depth, T, slots, bidx,
+                                     camera=CAM, voxel_size_m=0.05,
+                                     max_depth_m=5.0)
+    _lower(f, hc)
