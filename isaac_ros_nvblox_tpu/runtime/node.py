@@ -205,6 +205,8 @@ class NvbloxNode:
         # (parity: layer_publishing.cpp:545-584).
         self._mesh_sent_to: Dict[int, Set[Tuple[int, int, int]]] = {}
         self._mesh_streamer = None  # created lazily (needs voxel size)
+        # Per-subscriber catch-up streamers (budgeted full-map resend).
+        self._mesh_resend_streamers: Dict[int, object] = {}
         self._layer_streamers: Dict[str, object] = {}
         self._layer_sent: Dict[str, Set[Tuple[int, int, int]]] = {}
         # The device removal log is consume-once but has TWO consumers (the
@@ -574,9 +576,31 @@ class NvbloxNode:
         removed_everywhere = set()
         for sid in subs:
             sent = self._mesh_sent_to.setdefault(sid, set())
-            # Late subscriber: resend everything it has never seen, on top
-            # of this round's budgeted selection.
-            to_send = (selected | (current - sent))
+            # Late subscriber: catch up on never-seen blocks UNDER the
+            # same bandwidth budget, spread over ticks (parity: the
+            # reference streams the full-map resend through
+            # serializeSelectedLayers' budget, layer_publishing.cpp:
+            # 545-584, 702-711) — a per-subscriber streamer queues the
+            # backlog instead of dumping `current - sent` in one message.
+            backlog = current - sent - selected
+            catch_up = set()
+            if backlog:
+                rs = self._mesh_resend_streamers.get(sid)
+                if rs is None:
+                    from isaac_ros_nvblox_tpu.runtime.layer_streaming import (
+                        LayerStreamer, StreamingParams)
+                    rs = LayerStreamer(
+                        block_size_m=static_mapper.voxel_size_m * 8,
+                        params=StreamingParams(
+                            bandwidth_mbps=self.params
+                            .layer_streamer_bandwidth_limit_mbps),
+                        clock=self.clock)
+                    self._mesh_resend_streamers[sid] = rs
+                rs.mark_dirty(backlog)
+                catch_up = set(rs.select_blocks()) & backlog
+            elif sid in self._mesh_resend_streamers:
+                del self._mesh_resend_streamers[sid]
+            to_send = selected | catch_up
             removed = sent - current
             blocks = [MeshBlockMsg(index=Index3D(*key),
                                    vertices=mesh_layer.blocks[key].vertices,
@@ -597,6 +621,7 @@ class NvbloxNode:
         for sid in list(self._mesh_sent_to.keys()):
             if sid not in subs:
                 del self._mesh_sent_to[sid]
+                self._mesh_resend_streamers.pop(sid, None)
 
     # Voxel-layer topics: channel name + optional validity-weight channel.
     LAYER_TOPICS = {

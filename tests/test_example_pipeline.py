@@ -30,3 +30,35 @@ def test_example_pipeline_full_graph(tmp_path, capsys, monkeypatch):
                      "map.yaml", "mesh.html"):
         p = tmp_path / artifact
         assert p.exists() and p.stat().st_size > 0, artifact
+
+
+def test_viewer_voxel_layer_payload_and_html(tmp_path):
+    """Viewer renders voxel-layer cubes next to the mesh (parity:
+    nvblox_plugin_visual.cpp:91-310 cube rendering + cut ceiling)."""
+    import sys
+    sys.path.insert(0, str(__import__('pathlib').Path(
+        __file__).resolve().parents[1] / "tools"))
+    import mesh_viewer as mv
+    import numpy as np
+    from isaac_ros_nvblox_tpu.datasets.fuser import Fuser, FuserConfig
+    from isaac_ros_nvblox_tpu.datasets.synthetic import SyntheticDataLoader
+    from isaac_ros_nvblox_tpu.models.camera import Camera
+
+    cam = Camera(fx=120.0, fy=120.0, cx=59.5, cy=44.5, width=120, height=90)
+    fuser = Fuser(SyntheticDataLoader(num_frames=3, camera=cam),
+                  FuserConfig(capacity=8192))
+    fuser.run()
+    fuser.mapper.update_esdf()
+    for layer in ("tsdf", "esdf"):
+        cubes = mv.voxel_layer_payload(fuser.mapper, layer)
+        assert cubes is not None
+        centers, colors, vsize = cubes
+        assert centers.shape[0] > 100 and centers.shape == colors.shape
+        assert (colors >= 0).all() and (colors <= 1).all()
+        assert vsize == fuser.mapper.voxel_size_m
+    v, c, t = fuser.mapper.mesh_layer.as_arrays()
+    out = tmp_path / "view.html"
+    mv.write_html(out, v, c.astype(np.float32) / 255.0, t, cubes)
+    html = out.read_text()
+    assert "drawArraysInstanced" in html and "zcut" in html
+    assert len(html) > 10000

@@ -175,8 +175,21 @@ def test_late_subscriber_gets_full_mesh_resend():
     for m in msgs_a:
         seen_a |= {(b.index.x, b.index.y, b.index.z) for b in m.blocks}
     assert seen_a == total
+    # Wire format is welded/indexed (mesh_conversions.cpp:62-104): blocks
+    # carry shared vertices + index triples, not 3-vertices-per-triangle
+    # soup.
+    big = [b for m in msgs_a for b in m.blocks if b.triangles.shape[0] > 8]
+    assert big
+    for b in big:
+        assert b.vertices.shape[0] < 3 * b.triangles.shape[0]
+        assert b.triangles.max() < b.vertices.shape[0]
 
-    # B joins late: its FIRST message must carry the full current mesh.
+    # B joins late: it catches up on the whole current mesh, but UNDER the
+    # bandwidth budget, spread over ticks (layer_publishing.cpp:545-584,
+    # 702-711) — not as one unbounded dump.
+    node.params.layer_streamer_bandwidth_limit_mbps = 8.0
+    # 8 Mbps at the streamer's 0.1 s initial window / 16 KiB-block
+    # estimate = ~6 blocks in B's first message.
     msgs_b = []
     node.bus.subscribe("~/mesh", msgs_b.append)
     n_a = len(msgs_a)
@@ -184,8 +197,18 @@ def test_late_subscriber_gets_full_mesh_resend():
     node.tick()
     assert msgs_b, "late subscriber got no mesh"
     first_b = {(b.index.x, b.index.y, b.index.z) for b in msgs_b[0].blocks}
-    assert first_b == total
-    # A's concurrent message is incremental only (nothing re-meshed).
+    assert first_b and first_b < total, "first resend must be budgeted"
+    # Over later ticks the backlog drains completely.
+    seen_b = set(first_b)
+    for k in range(12):
+        t[0] = 10.2 + 0.2 * k
+        node.tick()
+        for m in msgs_b:
+            seen_b |= {(b.index.x, b.index.y, b.index.z) for b in m.blocks}
+        if seen_b == total:
+            break
+    assert seen_b == total
+    # A's concurrent messages stay incremental only (nothing re-meshed).
     assert len(msgs_a) > n_a
     assert len(msgs_a[-1].blocks) < len(total)
 
