@@ -345,19 +345,69 @@ def _clear_shapes_fused(state, distance, weight, dirty, esdf_dirty,
 
 @functools.partial(jax.jit,
                    static_argnames=("camera", "voxel_size_m", "params",
-                                    "view_distance_m", "max_blocks"),
+                                    "view_distance_m", "max_blocks",
+                                    "dims_b"),
                    donate_argnums=(0, 1, 2))
 def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
                      state, tsdf_distance, tsdf_weight, T_L_C,
-                     time_ms, last_update_ms, *, camera: Camera,
-                     voxel_size_m: float, params, view_distance_m: float,
-                     max_blocks: int):
-    """View batch -> freespace state machine (+ optional 26-neighborhood
-    occupancy check), one program (parity: freespace integrator,
-    mapper_initialization.cpp:430-463). The batch covers the whole camera
-    frustum (max-distance pseudo-depth), like the reference's per-view
-    freespace update."""
-    from isaac_ros_nvblox_tpu.ops.freespace import update_freespace
+                     time_ms, last_update_ms, origin_b=None, *,
+                     camera: Camera, voxel_size_m: float, params,
+                     view_distance_m: float, max_blocks: int,
+                     dims_b=None):
+    """Freespace state machine (+ optional 26-neighborhood occupancy
+    check), one program (parity: freespace integrator,
+    mapper_initialization.cpp:430-463).
+
+    Two formulations:
+      * dims_b given (the fast path — a block region covering the
+        allocated AABB, host-tracked): FULL-POOL elementwise update with a
+        per-voxel frustum test, and the neighborhood check as a dense-grid
+        separable dilation (ops/halo.dilate_occupancy_dense) — zero
+        gathers, zero batch compaction. Measured on v5e: the batch +
+        sliced-halo form below costs ~5.3 ms/frame; this is sub-ms.
+      * dims_b None (fallback when no region is known, e.g. the first
+        frames of a device-pose replay): frustum view batch + sliced halo
+        gather + separable slice-max dilation.
+    """
+    from isaac_ros_nvblox_tpu.ops.freespace import (update_freespace,
+                                                    update_freespace_fullpool)
+    cap = tsdf_distance.shape[0]
+    if dims_b is not None:
+        from isaac_ros_nvblox_tpu.core.types import Transform
+        from isaac_ros_nvblox_tpu.ops.halo import dilate_occupancy_dense
+        # Per-voxel frustum test over the whole pool (fused elementwise).
+        lane = jnp.arange(VOXELS_PER_BLOCK, dtype=jnp.int32)[None, :]
+        bi = state.block_index_of_slot.astype(jnp.float32)
+        wx = (bi[:, 0:1] * 8.0 + (lane // 64) + 0.5) * voxel_size_m
+        wy = (bi[:, 1:2] * 8.0 + ((lane // 8) % 8) + 0.5) * voxel_size_m
+        wz = (bi[:, 2:3] * 8.0 + (lane % 8) + 0.5) * voxel_size_m
+        T_C_L = Transform.inverse(T_L_C)
+        R, t = T_C_L[:3, :3], T_C_L[:3, 3]
+        pcx = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + t[0]
+        pcy = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + t[1]
+        pcz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + t[2]
+        zs = jnp.where(pcz > 1e-6, pcz, 1.0)
+        u = camera.fx * pcx / zs + camera.cx
+        v = camera.fy * pcy / zs + camera.cy
+        in_view = ((pcz > 1e-6) & (pcz <= view_distance_m)
+                   & (u >= 0.0) & (u <= camera.width - 1.0)
+                   & (v >= 0.0) & (v <= camera.height - 1.0))
+        in_view &= wg.live_slot_mask(state)[:, None]
+        if params.check_neighborhood:
+            occ = ((tsdf_distance
+                    < params.max_tsdf_distance_for_occupancy_m)
+                   & (tsdf_weight > 1e-6)).astype(jnp.float32)
+            occ_d = dilate_occupancy_dense(occ, state, origin_b,
+                                           dims_b=dims_b)
+            eff = jnp.where(occ_d > 0.5,
+                            params.max_tsdf_distance_for_occupancy_m - 1.0,
+                            1e3)
+        else:
+            eff = tsdf_distance
+        return update_freespace_fullpool(
+            consecutive_ms, last_occupied_ms, high_confidence, eff,
+            tsdf_weight, in_view, time_ms, last_update_ms, params=params)
+
     pseudo = jnp.full((camera.height, camera.width), view_distance_m,
                       jnp.float32)
     grid, origin = view_ops.touched_block_grid(
@@ -368,14 +418,10 @@ def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
     d_rows = None
     if params.check_neighborhood:
         # A voxel counts as occupied if any 3^3 neighbor is occupied:
-        # dilate the occupancy indicator across the +-1 halo. Measured on
-        # v5e (64-step scans, /tmp halo ablation): sliced halo gather 1.9 ms
-        # vs 12.5 ms for the 27-row-gather + concat form (the (N,10,10,10)
-        # concat tree lowers to layout-hostile copies); the separable
-        # slice-max dilation replaces a reduce_window whose tiny (1,3,3,3)
-        # window cost ~8 ms on that layout.
+        # dilate the occupancy indicator across the +-1 halo (sliced
+        # gathers + separable slice-max — see the fast path above for the
+        # measured rationale).
         from isaac_ros_nvblox_tpu.ops.halo import gather_halo_sliced
-        cap = tsdf_distance.shape[0]
         occ = ((tsdf_distance < params.max_tsdf_distance_for_occupancy_m)
                & (tsdf_weight > 1e-6)).astype(jnp.float32)
         nbrs = wg.neighbor_slots_of(state, bidx)
@@ -1009,6 +1055,14 @@ class DeviceMapper:
         freespace integrator, mapper_initialization.cpp:430-463)."""
         if "freespace_consecutive_ms" not in self.channels:
             return
+        # Fast path when the allocated AABB is host-tracked: full-pool
+        # update + dense-region neighborhood dilation (no view batch).
+        if not self._region_unknown and self._aabb_lo is not None:
+            origin, dims = self.esdf_region(margin_blocks=0)
+            origin_b = jnp.asarray(origin, jnp.int32)
+            dims_b = tuple(int(d) for d in dims)
+        else:
+            origin_b, dims_b = None, None
         cons, last, hc = _freespace_fused(
             self.channels["freespace_consecutive_ms"],
             self.channels["freespace_last_occupied_ms"],
@@ -1016,11 +1070,12 @@ class DeviceMapper:
             self.state, self.channels["tsdf_distance"],
             self.channels["tsdf_weight"],
             jnp.asarray(T_L_C, jnp.float32), jnp.float32(time_ms),
-            jnp.float32(self._freespace_last_update_ms), camera=camera,
+            jnp.float32(self._freespace_last_update_ms), origin_b,
+            camera=camera,
             voxel_size_m=self.voxel_size_m, params=self.params.freespace,
             view_distance_m=float(
                 self.params.projective.max_integration_distance_m),
-            max_blocks=self.max_blocks_per_frame)
+            max_blocks=self.max_blocks_per_frame, dims_b=dims_b)
         self.channels["freespace_consecutive_ms"] = cons
         self.channels["freespace_last_occupied_ms"] = last
         self.channels["freespace_high_confidence"] = hc

@@ -117,15 +117,18 @@ def _detect_dynamic_fused(state, high_confidence, depth, T_L_C, *,
     jax.jit,
     static_argnames=("camera", "voxel_size_m", "static_params", "occ_params",
                      "free_params", "max_blocks", "dyn_max_blocks",
-                     "use_pallas", "max_depth_m", "detect_subsample"),
+                     "use_pallas", "max_depth_m", "detect_subsample",
+                     "free_dims_b"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
                          d_state, d_ch, d_dirty, d_edirty,
-                         depths, T_L_Cs, times_ms, last_ms0, *,
+                         depths, T_L_Cs, times_ms, last_ms0,
+                         free_origin_b=None, *,
                          camera: Camera, voxel_size_m: float, static_params,
                          occ_params, free_params, max_blocks: int,
                          dyn_max_blocks: int, use_pallas: bool,
-                         max_depth_m: float, detect_subsample: int = 1):
+                         max_depth_m: float, detect_subsample: int = 1,
+                         free_dims_b=None):
     """The WHOLE dynamic pipeline in ONE device program (lax.scan):
     freespace-driven dynamic detection -> masked static TSDF (background)
     -> masked dynamic occupancy (foreground) -> freespace update. The
@@ -168,10 +171,11 @@ def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
             sch["freespace_consecutive_ms"],
             sch["freespace_last_occupied_ms"],
             sch["freespace_high_confidence"], ss, sch["tsdf_distance"],
-            sch["tsdf_weight"], T, t_ms, last_ms, camera=camera,
+            sch["tsdf_weight"], T, t_ms, last_ms, free_origin_b,
+            camera=camera,
             voxel_size_m=voxel_size_m, params=free_params,
             view_distance_m=float(static_params.max_integration_distance_m),
-            max_blocks=max_blocks)
+            max_blocks=max_blocks, dims_b=free_dims_b)
         sch = dict(sch, freespace_consecutive_ms=cons,
                    freespace_last_occupied_ms=last,
                    freespace_high_confidence=hc)
@@ -309,14 +313,27 @@ class MultiMapper:
             timestamps_s=timestamps_s, T_L_S_end=T_L_S_end)
 
     def replay_frames_dynamic(self, depths, T_L_Cs, times_ms,
-                              camera: Camera) -> None:
+                              camera: Camera, region=None) -> None:
         """Replay N frames through the full dynamic pipeline in ONE device
         program (detection -> masked split -> freespace); DYNAMIC mode
         only. The offline/bench analogue of integrate_depth's dynamic
         branch (minus the host-side CC mask filter, which is an optional
-        post-process)."""
+        post-process).
+
+        `region=(origin_blocks, dims_blocks)` enables the freespace fast
+        path (full-pool update + dense neighborhood dilation) over that
+        block region; defaults to the static mapper's tracked AABB when
+        known, else the first replay falls back to the batch/halo path."""
         assert self.uses_freespace and self.dynamic_mapper is not None
         sm, dmap = self.static_mapper, self.dynamic_mapper
+        if region is None and not sm._region_unknown \
+                and sm._aabb_lo is not None:
+            region = sm.esdf_region(margin_blocks=0)
+        if region is not None:
+            free_origin_b = jnp.asarray(region[0], jnp.int32)
+            free_dims_b = tuple(int(d) for d in region[1])
+        else:
+            free_origin_b, free_dims_b = None, None
         use_pallas = (jax.default_backend() == "tpu"
                       if sm.use_pallas_integrate is None
                       else sm.use_pallas_integrate)
@@ -327,7 +344,7 @@ class MultiMapper:
             dmap.state, dmap.channels, dmap.dirty, dmap.esdf_dirty,
             jnp.asarray(depths, jnp.float32), jnp.asarray(T_L_Cs, jnp.float32),
             jnp.asarray(times_ms, jnp.float32),
-            jnp.float32(sm._freespace_last_update_ms),
+            jnp.float32(sm._freespace_last_update_ms), free_origin_b,
             camera=camera, voxel_size_m=sm.voxel_size_m,
             static_params=sm.params.projective,
             occ_params=dmap.params.occupancy,
@@ -336,7 +353,8 @@ class MultiMapper:
             dyn_max_blocks=dmap.max_blocks_per_frame, use_pallas=use_pallas,
             max_depth_m=float(sm.params.projective
                               .max_integration_distance_m),
-            detect_subsample=int(self.params.dynamic_detection_subsample))
+            detect_subsample=int(self.params.dynamic_detection_subsample),
+            free_dims_b=free_dims_b)
         sm._freespace_last_update_ms = float(np.asarray(last_ms))
         sm._region_unknown = True
         dmap._region_unknown = True

@@ -99,3 +99,50 @@ def update_freespace(consecutive_ms, last_occupied_ms, high_confidence,
     last_occupied_ms = last_occupied_ms.at[slots].set(last_occ_new, mode="drop")
     high_confidence = high_confidence.at[slots].set(hc_new, mode="drop")
     return consecutive_ms, last_occupied_ms, high_confidence
+
+
+@functools.partial(jax.jit, static_argnames=("params",),
+                   donate_argnums=(0, 1, 2))
+def update_freespace_fullpool(consecutive_ms, last_occupied_ms,
+                              high_confidence, eff_distance, tsdf_weight,
+                              in_view, time_ms, last_update_ms, *,
+                              params: FreespaceIntegratorParams
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]:
+    """Full-pool elementwise freespace update (zero gathers/scatters).
+
+    The batch variant above row-gathers a view batch (sorted compaction +
+    row gathers + scatters, ~ms-scale on TPU); this form evaluates the
+    same per-voxel state machine over the WHOLE pool with a precomputed
+    per-voxel `in_view` mask — pure fused elementwise passes, the shape
+    TPUs like. Observation granularity is per-voxel (the batch form
+    processed whole frustum blocks); the unobserved-grace branch applies
+    exactly per voxel, which matches the parameter's intent
+    (max_unobserved_to_keep_consecutive_occupancy_ms).
+    """
+    dt_ms = time_ms - last_update_ms
+    d = eff_distance
+    w = tsdf_weight
+    observed = in_view & (w > 1e-6)
+    occupied_now = observed & (d < params.max_tsdf_distance_for_occupancy_m)
+
+    cons = consecutive_ms
+    last_occ = last_occupied_ms
+    recently_occupied = (time_ms - last_occ) \
+        <= params.max_unobserved_to_keep_consecutive_occupancy_ms
+    keep_streak = occupied_now | ((~observed) & recently_occupied
+                                 & (cons > 0))
+    cons_new = jnp.where(keep_streak, cons + dt_ms, 0.0)
+    last_occ_new = jnp.where(occupied_now, time_ms, last_occ)
+
+    free_duration = time_ms - last_occ_new
+    promote = observed & (~occupied_now) & (
+        free_duration >= params.min_duration_since_occupied_for_freespace_ms)
+    demote = cons_new >= params.min_consecutive_occupancy_duration_for_reset_ms
+    hc_new = jnp.where(demote, False, high_confidence | promote)
+
+    touched = observed | keep_streak
+    consecutive_ms = jnp.where(touched, cons_new, cons)
+    last_occupied_ms = last_occ_new
+    high_confidence = jnp.where(observed | demote, hc_new, high_confidence)
+    return consecutive_ms, last_occupied_ms, high_confidence

@@ -107,3 +107,71 @@ def gather_halo_sliced(grid_channel, neighbor_slots, *, lo: int = 1,
                     out = out.at[:, dst_x, dst_y, dst_z].set(data)
                 n += 1
     return out
+
+
+def dilate_occupancy_dense(values, state, origin_b, *, dims_b, fill=0.0):
+    """3^3 box-max dilation of a pool channel over a dense block region —
+    the gather-free form of the +-1-neighborhood check.
+
+    Assembles `values` (f32[cap, 512]) into a dense [Cx, Cy, Cz, 512] grid
+    over `dims_b` blocks at `origin_b` (scalar scatter of slot ids + one
+    row gather — the esdf_dense seeding trick), then dilates separably per
+    axis with lane rolls (intra-block) and cell-axis rolls (cross-block
+    faces), and gathers rows back. Measured rationale: the sliced halo
+    gather + (N,10,10,10) dilation costs ~1.9 ms/frame on v5e; this is a
+    handful of elementwise/roll passes over the dense region (~0.2 ms at
+    room scale) with zero neighbor-table gathers.
+
+    Returns the dilated channel (f32[cap, 512]); slots outside the region
+    are returned UNdilated (their own value) — callers pass a region
+    covering the allocated AABB.
+    """
+    import jax
+    cap = values.shape[0]
+    Cx, Cy, Cz = dims_b
+    n_cells = Cx * Cy * Cz
+    cells = state.block_index_of_slot - origin_b[None, :]
+    live = jnp.arange(cap) < state.alloc_count
+    in_r = (live & (cells[:, 0] >= 0) & (cells[:, 0] < Cx)
+            & (cells[:, 1] >= 0) & (cells[:, 1] < Cy)
+            & (cells[:, 2] >= 0) & (cells[:, 2] < Cz))
+    lin = (cells[:, 0] * Cy + cells[:, 1]) * Cz + cells[:, 2]
+    lin = jnp.where(in_r, lin, n_cells)
+    slot_of_cell = jnp.full((n_cells,), cap, jnp.int32).at[lin].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    dense = jnp.where((slot_of_cell < cap)[:, None],
+                      values[jnp.clip(slot_of_cell, 0, cap - 1)],
+                      jnp.asarray(fill, values.dtype))
+    dense = dense.reshape(Cx, Cy, Cz, 512)
+
+    # Lane decomposition: lane = (lx*8 + ly)*8 + lz.
+    lane = jnp.arange(512, dtype=jnp.int32)
+    lx, ly, lz = lane // 64, (lane // 8) % 8, lane % 8
+
+    def axis_max(d, cell_axis, lcoord, stride):
+        """max(d, shift+1, shift-1) along one spatial axis."""
+        cdim = d.shape[cell_axis]
+        cidx = jax.lax.broadcasted_iota(jnp.int32, d.shape, cell_axis)
+        # +1 neighbor: intra-block lane roll; boundary voxels read the
+        # next cell's first plane (cell roll + lane counter-roll).
+        intra_p = jnp.roll(d, -stride, axis=-1)
+        cross_p = jnp.roll(jnp.roll(d, -1, axis=cell_axis),
+                           7 * stride, axis=-1)
+        up = jnp.where(lcoord < 7, intra_p, cross_p)
+        up = jnp.where((lcoord == 7) & (cidx == cdim - 1),
+                       jnp.asarray(fill, d.dtype), up)
+        intra_m = jnp.roll(d, stride, axis=-1)
+        cross_m = jnp.roll(jnp.roll(d, 1, axis=cell_axis),
+                           -7 * stride, axis=-1)
+        dn = jnp.where(lcoord > 0, intra_m, cross_m)
+        dn = jnp.where((lcoord == 0) & (cidx == 0),
+                       jnp.asarray(fill, d.dtype), dn)
+        return jnp.maximum(d, jnp.maximum(up, dn))
+
+    dense = axis_max(dense, 2, lz, 1)
+    dense = axis_max(dense, 1, ly, 8)
+    dense = axis_max(dense, 0, lx, 64)
+
+    flat = dense.reshape(n_cells, 512)
+    out = flat[jnp.clip(lin, 0, n_cells - 1)]
+    return jnp.where(in_r[:, None], out, values)

@@ -1,29 +1,36 @@
 """ShardedDeviceMapper: spatial scale-out of the device-resident mapper.
 
 The genuinely new capability vs the single-GPU reference (BASELINE.json
-north star): shard the voxel-block map into x-slabs across a device mesh,
-integrate sensor frames into the owning shards, and keep the ESDF exact
-across slab boundaries with halo exchange over `lax.ppermute`.
+north star): shard the voxel-block map into spatial tiles across a device
+mesh, integrate sensor frames into the owning shards, and keep the ESDF
+exact across tile boundaries with halo exchange over `lax.ppermute`.
 
-Decomposition:
-  * the global world grid (Dx, Dy, Dz blocks) splits into `n` x-slabs of
-    L = Dx/n owned layers; each shard's local grid is (L+2, Dy, Dz) — one
-    **ghost layer** per inner face, overlapping the neighbor's boundary;
+Decomposition (round 3: generalized from 1-D x-slabs to a 2-D grid,
+SURVEY.md §5.8's ("hosts_x","hosts_y") spatial mesh):
+  * the global world grid (Dx, Dy, Dz blocks) splits into an
+    `shard_grid = (nx, ny)` grid of tiles of (Lx, Ly) owned block columns;
+    each tile's local grid is (Lx+2, Ly+2, Dz) — one **ghost layer** per
+    inner face (mesh halo + integration overlap);
   * every per-shard state/channel array gains a leading [n] axis sharded
-    over the 1-D mesh axis "space" (`PartitionSpec("space")`);
-  * depth/color frames are broadcast, but each shard **skips the fused
-    integration entirely when its slab doesn't intersect the view**
-    (lax.cond on the view-batch count) — the cheap form of frame routing;
-  * ESDF: round 2 replaces the iterated sweep+exchange rounds with the
-    exact dense separable EDT (ops/esdf_dense.py). Only the x pass crosses
-    shard boundaries, so ONE ppermute halo exchange of `band` voxels
-    (ceil(band/8) block layers) of site data per side makes the per-shard
-    solve exact: each shard solves its slab + halo read region and keeps
-    its owned columns — provably equal to the single-device solve (a
-    distance within the slab depends only on sites within `band` of it);
-  * meshing runs per shard over dirty owned blocks (the +1-voxel halo
-    comes from the ghost layer); the host gathers owned-block triangle
-    soup for publishing.
+    over the flattened 1-D mesh axis "space" (s = sx * ny + sy);
+  * frames are broadcast, but the host wrapper passes per-shard
+    frustum-vs-tile intersection flags, so non-intersecting shards skip
+    the ENTIRE fused body (view grid + allocation + kernel) via lax.cond —
+    frame routing without scatter/gather of image data;
+  * ESDF: the exact dense separable EDT (ops/esdf_dense.py) runs per tile
+    over its owned columns + `band` halo. Site halos arrive in TWO
+    ppermute steps — y first, then x of the y-extended slab, which carries
+    the diagonal corners automatically. Results are bitwise-equal to the
+    single-device solve (a distance within the tile depends only on sites
+    within `band` of it). **Incremental**: each shard tracks an esdf-dirty
+    set; a shard re-solves only when its own blocks changed or a
+    neighbor's boundary region did (scalar dirty flags ride the same
+    ppermute pattern), so a stationary sensor leaves far tiles untouched;
+  * occupancy layers + TSDF/occupancy decay with slot recycling run per
+    shard (the reference's single mapper features at shard scope);
+  * meshing runs per shard over dirty owned blocks (the +1-block ghost
+    ring supplies the marching-cubes halo); the host gathers owned-block
+    triangle soup for publishing.
 
 All steps are shard_map'd pure functions over a WorldGridState/channels
 pytree with a leading device axis, so the same code runs on an 8-device
@@ -68,7 +75,9 @@ V = VOXELS_PER_BLOCK
 @dataclasses.dataclass(frozen=True)
 class ShardedMapperConfig:
     n_shards: int = 8
-    # Global world extent in blocks (x must divide evenly by n_shards).
+    # Spatial decomposition (nx, ny); None = 1-D x-slabs (n_shards, 1).
+    shard_grid: Optional[Tuple[int, int]] = None
+    # Global world extent in blocks (x by nx, y by ny must divide evenly).
     global_dims: Tuple[int, int, int] = (64, 32, 16)
     origin_block: Tuple[int, int, int] = (-32, -16, -4)
     capacity_per_shard: int = 4096
@@ -76,17 +85,31 @@ class ShardedMapperConfig:
     max_blocks_per_frame: int = 1024
     mesh_max_blocks: int = 512
     enable_color: bool = False
+    enable_occupancy: bool = False
 
     @property
-    def slab_width(self) -> int:
-        if self.global_dims[0] % self.n_shards != 0:
+    def grid(self) -> Tuple[int, int]:
+        g = self.shard_grid or (self.n_shards, 1)
+        if g[0] * g[1] != self.n_shards:
+            raise ValueError(f"shard_grid {g} != n_shards {self.n_shards}")
+        return g
+
+    @property
+    def tile_dims(self) -> Tuple[int, int]:
+        nx, ny = self.grid
+        if self.global_dims[0] % nx or self.global_dims[1] % ny:
             raise ValueError(
-                f"global x extent {self.global_dims[0]} must divide evenly "
-                f"into {self.n_shards} shards")
+                f"global extent {self.global_dims[:2]} must divide evenly "
+                f"into the {self.grid} shard grid")
         if self.global_dims[1] % 8 or self.global_dims[2] % 8:
             raise ValueError("global y/z extents must be multiples of 8 "
                              "blocks (EDT pass-kernel block constraint)")
-        return self.global_dims[0] // self.n_shards
+        return (self.global_dims[0] // nx, self.global_dims[1] // ny)
+
+    @property
+    def slab_width(self) -> int:
+        """Back-compat: owned x width per shard (1-D decomposition)."""
+        return self.tile_dims[0]
 
 
 class ShardedDeviceMapper:
@@ -100,17 +123,20 @@ class ShardedDeviceMapper:
         self.params = params or MapperParams()
         assert self.config.n_shards == mesh.devices.size
         c = self.config
-        L = c.slab_width
+        nx, ny = c.grid
+        Lx, Ly = c.tile_dims
         cap = c.capacity_per_shard
 
-        # Stacked per-shard states (origins differ by slab, minus the ghost
-        # layer on the left).
+        # Stacked per-shard states (origins differ by tile, minus the ghost
+        # layer on each inner face).
         states = []
         for s in range(c.n_shards):
-            origin = (c.origin_block[0] + s * L - 1,
-                      c.origin_block[1], c.origin_block[2])
+            sx, sy = divmod(s, ny)
+            origin = (c.origin_block[0] + sx * Lx - 1,
+                      c.origin_block[1] + sy * Ly - 1,
+                      c.origin_block[2])
             states.append(wg.create_world_grid(wg.WorldGridConfig(
-                dims=(L + 2, c.global_dims[1], c.global_dims[2]),
+                dims=(Lx + 2, Ly + 2, c.global_dims[2]),
                 capacity=cap, origin_block=origin)))
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         sh = NamedSharding(mesh, P("space"))
@@ -128,13 +154,73 @@ class ShardedDeviceMapper:
             for name in ("color_r", "color_g", "color_b", "color_weight"):
                 self.channels[name] = jax.device_put(
                     jnp.zeros((c.n_shards, cap, V), jnp.float32), sh)
+        if c.enable_occupancy:
+            self.channels["occupancy_log_odds"] = jax.device_put(
+                jnp.zeros((c.n_shards, cap, V), jnp.float32), sh)
+            self.channels["occupancy_observed"] = jax.device_put(
+                jnp.zeros((c.n_shards, cap, V), jnp.bool_), sh)
         self.dirty = jax.device_put(
             jnp.zeros((c.n_shards, cap), jnp.bool_), sh)
+        self.esdf_dirty = jax.device_put(
+            jnp.zeros((c.n_shards, cap), jnp.bool_), sh)
+        self._sharding = sh
         self._integrate = self._build_integrate()
         self._integrate_color = (self._build_integrate_color()
                                  if c.enable_color else None)
+        self._integrate_occ = (self._build_integrate_occupancy()
+                               if c.enable_occupancy else None)
         self._esdf = self._build_esdf()
         self._mesh = self._build_mesh()
+        self._decay = self._build_decay()
+
+    # ------------------------------------------------------------- topology
+    def _perms(self, axis: str):
+        """ppermute pairs along tile axis 'x' or 'y' (+ and - direction)."""
+        nx, ny = self.config.grid
+        n = self.config.n_shards
+        fwd, bwd = [], []
+        for s in range(n):
+            sx, sy = divmod(s, ny)
+            if axis == "x":
+                if sx + 1 < nx:
+                    fwd.append((s, s + ny))
+                    bwd.append((s + ny, s))
+            else:
+                if sy + 1 < ny:
+                    fwd.append((s, s + 1))
+                    bwd.append((s + 1, s))
+        return fwd, bwd
+
+    def _view_flags(self, T_L_C) -> jnp.ndarray:
+        """Host frustum-vs-tile test -> per-shard run flags (i32[n]).
+
+        Conservative ball test: a tile can see the frame iff its (ghost-
+        inclusive) AABB intersects the ball of radius max_integration
+        around the camera origin. Device-resident poses (in-scan) fall
+        back to all-ones.
+        """
+        c = self.config
+        if isinstance(T_L_C, jax.Array):
+            flags = np.ones((c.n_shards,), np.int32)
+        else:
+            nx, ny = c.grid
+            Lx, Ly = c.tile_dims
+            bs = c.voxel_size_m * B
+            o = np.asarray(T_L_C, np.float64)[:3, 3]
+            r = float(self.params.projective.max_integration_distance_m) \
+                + bs * np.sqrt(3.0)
+            flags = np.zeros((c.n_shards,), np.int32)
+            for s in range(c.n_shards):
+                sx, sy = divmod(s, ny)
+                lo = np.asarray([
+                    (c.origin_block[0] + sx * Lx - 1) * bs,
+                    (c.origin_block[1] + sy * Ly - 1) * bs,
+                    c.origin_block[2] * bs])
+                hi = lo + np.asarray([(Lx + 2) * bs, (Ly + 2) * bs,
+                                      c.global_dims[2] * bs])
+                d = np.maximum(np.maximum(lo - o, o - hi), 0.0)
+                flags[s] = 1 if float(np.dot(d, d)) <= r * r else 0
+        return jax.device_put(jnp.asarray(flags), self._sharding)
 
     # ------------------------------------------------------------ integrate
     def _build_integrate(self):
@@ -143,51 +229,131 @@ class ShardedDeviceMapper:
         p = self.params.projective
         vs = c.voxel_size_m
 
-        def local(state, distance, weight, dirty, depth, T_L_C):
+        def local(state, distance, weight, dirty, edirty, flag, depth,
+                  T_L_C):
             state = jax.tree.map(lambda x: x[0], state)
-            distance = distance[0]
-            weight = weight[0]
-            dirty = dirty[0]
-            grid, origin = view_ops.touched_block_grid(
-                depth, T_L_C, camera=camera, voxel_size_m=vs,
-                max_distance_m=p.max_integration_distance_m,
-                truncation_m=p.truncation_m(vs), subsample=1)
-            state, slots, bidx, n_valid = wg.allocate_and_batch(
-                state, grid, origin, max_blocks=c.max_blocks_per_frame)
+            distance, weight = distance[0], weight[0]
+            dirty, edirty = dirty[0], edirty[0]
 
-            # Frame routing, the cheap way: shards whose slab the view does
-            # not touch skip the integration kernel entirely.
+            # Frame routing: shards whose tile the frustum cannot touch
+            # (host flag) skip the WHOLE body — view grid, allocation and
+            # the fusion kernel.
             def run(args):
-                d, w, dt = args
-                d, w = integrate_tsdf(
-                    d, w, slots, bidx, depth, T_L_C, camera=camera,
-                    voxel_size_m=vs, params=p)
-                dt = dt.at[slots].set(True, mode="drop")
-                return d, w, dt
+                state, d, w, dt, et = args
+                grid, origin = view_ops.touched_block_grid(
+                    depth, T_L_C, camera=camera, voxel_size_m=vs,
+                    max_distance_m=p.max_integration_distance_m,
+                    truncation_m=p.truncation_m(vs), subsample=1)
+                state, slots, bidx, n_valid = wg.allocate_and_batch(
+                    state, grid, origin, max_blocks=c.max_blocks_per_frame)
 
-            distance, weight, dirty = jax.lax.cond(
-                n_valid > 0, run, lambda args: args,
-                (distance, weight, dirty))
+                def fuse(args):
+                    d, w, dt, et = args
+                    d, w = integrate_tsdf(
+                        d, w, slots, bidx, depth, T_L_C, camera=camera,
+                        voxel_size_m=vs, params=p)
+                    dt = dt.at[slots].set(True, mode="drop")
+                    et = et.at[slots].set(True, mode="drop")
+                    return d, w, dt, et
+
+                d, w, dt, et = jax.lax.cond(
+                    n_valid > 0, fuse, lambda a: a, (d, w, dt, et))
+                return state, d, w, dt, et
+
+            state, distance, weight, dirty, edirty = jax.lax.cond(
+                flag[0] > 0, run, lambda a: a,
+                (state, distance, weight, dirty, edirty))
             return (jax.tree.map(lambda x: x[None], state),
-                    distance[None], weight[None], dirty[None])
+                    distance[None], weight[None], dirty[None],
+                    edirty[None])
 
         spec = P("space")
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(jax.tree.map(lambda _: spec, self.state),
-                      spec, spec, spec, P(), P()),
+                      spec, spec, spec, spec, spec, P(), P()),
             out_specs=(jax.tree.map(lambda _: spec, self.state),
-                       spec, spec, spec))
-        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+                       spec, spec, spec, spec))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
 
     def integrate_depth(self, depth, T_L_C) -> None:
+        flags = self._view_flags(T_L_C)
         depth = jnp.asarray(depth, jnp.float32)
         T_L_C = jnp.asarray(T_L_C, jnp.float32)
-        self.state, d, w, self.dirty = self._integrate(
+        (self.state, d, w, self.dirty, self.esdf_dirty) = self._integrate(
             self.state, self.channels["tsdf_distance"],
-            self.channels["tsdf_weight"], self.dirty, depth, T_L_C)
+            self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
+            flags, depth, T_L_C)
         self.channels["tsdf_distance"] = d
         self.channels["tsdf_weight"] = w
+
+    def _build_integrate_occupancy(self):
+        c = self.config
+        camera = self.camera
+        po = self.params.occupancy
+        vs = c.voxel_size_m
+
+        def local(state, log_odds, observed, dirty, edirty, flag, depth,
+                  T_L_C):
+            from isaac_ros_nvblox_tpu.ops.occupancy import integrate_occupancy
+            state = jax.tree.map(lambda x: x[0], state)
+            log_odds, observed = log_odds[0], observed[0]
+            dirty, edirty = dirty[0], edirty[0]
+
+            def run(args):
+                state, lo, ob, dt, et = args
+                grid, origin = view_ops.touched_block_grid(
+                    depth, T_L_C, camera=camera, voxel_size_m=vs,
+                    max_distance_m=po.max_integration_distance_m,
+                    truncation_m=po.occupied_region_half_width_m,
+                    subsample=1)
+                state, slots, bidx, n_valid = wg.allocate_and_batch(
+                    state, grid, origin, max_blocks=c.max_blocks_per_frame)
+
+                def fuse(args):
+                    lo, ob, dt, et = args
+                    lo, ob = integrate_occupancy(
+                        lo, ob, slots, bidx, depth, T_L_C, camera=camera,
+                        voxel_size_m=vs, params=po)
+                    dt = dt.at[slots].set(True, mode="drop")
+                    et = et.at[slots].set(True, mode="drop")
+                    return lo, ob, dt, et
+
+                lo, ob, dt, et = jax.lax.cond(
+                    n_valid > 0, fuse, lambda a: a, (lo, ob, dt, et))
+                return state, lo, ob, dt, et
+
+            state, log_odds, observed, dirty, edirty = jax.lax.cond(
+                flag[0] > 0, run, lambda a: a,
+                (state, log_odds, observed, dirty, edirty))
+            return (jax.tree.map(lambda x: x[None], state),
+                    log_odds[None], observed[None], dirty[None],
+                    edirty[None])
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state),
+                      spec, spec, spec, spec, spec, P(), P()),
+            out_specs=(jax.tree.map(lambda _: spec, self.state),
+                       spec, spec, spec, spec))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
+
+    def integrate_depth_occupancy(self, depth, T_L_C) -> None:
+        """Occupancy-layer integration on the shards (parity: the
+        occupancy integrator, mapper_initialization.cpp:307-328, at shard
+        scope)."""
+        assert self._integrate_occ is not None, "enable_occupancy=False"
+        flags = self._view_flags(T_L_C)
+        depth = jnp.asarray(depth, jnp.float32)
+        T_L_C = jnp.asarray(T_L_C, jnp.float32)
+        (self.state, lo, ob, self.dirty,
+         self.esdf_dirty) = self._integrate_occ(
+            self.state, self.channels["occupancy_log_odds"],
+            self.channels["occupancy_observed"], self.dirty,
+            self.esdf_dirty, flags, depth, T_L_C)
+        self.channels["occupancy_log_odds"] = lo
+        self.channels["occupancy_observed"] = ob
 
     def _build_integrate_color(self):
         c = self.config
@@ -195,34 +361,42 @@ class ShardedDeviceMapper:
         p = self.params.projective
         vs = c.voxel_size_m
 
-        def local(state, r, g, b, cw, tsdf_d, tsdf_w, color, depth, T_L_C):
+        def local(state, r, g, b, cw, tsdf_d, tsdf_w, flag, color, depth,
+                  T_L_C):
             state = jax.tree.map(lambda x: x[0], state)
             r, g, b, cw = r[0], g[0], b[0], cw[0]
             tsdf_d, tsdf_w = tsdf_d[0], tsdf_w[0]
-            grid, origin = view_ops.touched_block_grid(
-                jnp.full((camera.height, camera.width),
-                         p.max_integration_distance_m, jnp.float32),
-                T_L_C, camera=camera, voxel_size_m=vs,
-                max_distance_m=p.max_integration_distance_m,
-                truncation_m=p.truncation_m(vs), subsample=1)
-            slots, bidx, n_valid = wg.view_batch(
-                state, grid, origin, max_blocks=c.max_blocks_per_frame)
 
             def run(args):
                 r, g, b, cw = args
-                if jax.default_backend() == "tpu" and depth.shape == (
-                        camera.height, camera.width):
-                    from isaac_ros_nvblox_tpu.ops.color_pallas import (
-                        integrate_color_pallas)
-                    return integrate_color_pallas(
+                grid, origin = view_ops.touched_block_grid(
+                    jnp.full((camera.height, camera.width),
+                             p.max_integration_distance_m, jnp.float32),
+                    T_L_C, camera=camera, voxel_size_m=vs,
+                    max_distance_m=p.max_integration_distance_m,
+                    truncation_m=p.truncation_m(vs), subsample=1)
+                slots, bidx, n_valid = wg.view_batch(
+                    state, grid, origin, max_blocks=c.max_blocks_per_frame)
+
+                def fuse(args):
+                    r, g, b, cw = args
+                    if jax.default_backend() == "tpu" and depth.shape == (
+                            camera.height, camera.width):
+                        from isaac_ros_nvblox_tpu.ops.color_pallas import (
+                            integrate_color_pallas)
+                        return integrate_color_pallas(
+                            r, g, b, cw, tsdf_d, tsdf_w, slots, bidx,
+                            color, depth, T_L_C, camera=camera,
+                            voxel_size_m=vs, params=p)
+                    return integrate_color_planar(
                         r, g, b, cw, tsdf_d, tsdf_w, slots, bidx, color,
                         depth, T_L_C, camera=camera, voxel_size_m=vs,
                         params=p)
-                return integrate_color_planar(
-                    r, g, b, cw, tsdf_d, tsdf_w, slots, bidx, color, depth,
-                    T_L_C, camera=camera, voxel_size_m=vs, params=p)
 
-            r, g, b, cw = jax.lax.cond(n_valid > 0, run, lambda a: a,
+                return jax.lax.cond(n_valid > 0, fuse, lambda a: a,
+                                    (r, g, b, cw))
+
+            r, g, b, cw = jax.lax.cond(flag[0] > 0, run, lambda a: a,
                                        (r, g, b, cw))
             return r[None], g[None], b[None], cw[None]
 
@@ -230,98 +404,162 @@ class ShardedDeviceMapper:
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(jax.tree.map(lambda _: spec, self.state),
-                      spec, spec, spec, spec, spec, spec, P(), P(), P()),
+                      spec, spec, spec, spec, spec, spec, spec,
+                      P(), P(), P()),
             out_specs=(spec, spec, spec, spec))
         return jax.jit(fn, donate_argnums=(1, 2, 3, 4))
 
     def integrate_color(self, color, depth, T_L_C) -> None:
         if self._integrate_color is None:
             return
+        flags = self._view_flags(T_L_C)
         r, g, b, cw = self._integrate_color(
             self.state, self.channels["color_r"], self.channels["color_g"],
             self.channels["color_b"], self.channels["color_weight"],
             self.channels["tsdf_distance"], self.channels["tsdf_weight"],
-            jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32),
+            flags, jnp.asarray(color, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
             jnp.asarray(T_L_C, jnp.float32))
         self.channels["color_r"] = r
         self.channels["color_g"] = g
         self.channels["color_b"] = b
         self.channels["color_weight"] = cw
 
+    # ------------------------------------------------------------------ decay
+    def _build_decay(self):
+        c = self.config
+        cap = c.capacity_per_shard
+        pd = self.params.tsdf_decay
+        po = self.params.occupancy_decay
+        has_occ = c.enable_occupancy
+
+        def local(state, channels, dirty, edirty):
+            from isaac_ros_nvblox_tpu.ops.decay import (decay_occupancy,
+                                                        decay_tsdf)
+            state = jax.tree.map(lambda x: x[0], state)
+            channels = {k: v[0] for k, v in channels.items()}
+            dirty, edirty = dirty[0], edirty[0]
+            d, w, block_max_w = decay_tsdf(
+                channels["tsdf_distance"], channels["tsdf_weight"],
+                state.block_index_of_slot, jnp.eye(4), params=pd,
+                voxel_size_m=c.voxel_size_m, camera=None)
+            channels = dict(channels, tsdf_distance=d, tsdf_weight=w)
+            live = wg.live_slot_mask(state)
+            dead = live & (block_max_w < pd.decayed_weight_threshold)
+            if has_occ:
+                lo, block_max = decay_occupancy(
+                    channels["occupancy_log_odds"], params=po)
+                channels = dict(channels, occupancy_log_odds=lo)
+                dead = dead & (block_max < 1e-3)
+            # Free decayed blocks (slot recycling on the shard).
+            big = jnp.int32(2 ** 30)
+            keys = jnp.where(dead, jnp.arange(cap, dtype=jnp.int32), big)
+            keys = jax.lax.sort(keys)[:min(1024, cap)]
+            idx = jnp.where(keys < big, keys, -1)
+            state = wg.free_slots(state, idx)
+            safe = jnp.where(idx >= 0, idx, cap)
+            for name, ch in channels.items():
+                fill = (float(esdf_ops.INF_SQ)
+                        if name == "esdf_sq_dist" else 0)
+                channels[name] = ch.at[safe].set(
+                    jnp.asarray(fill, ch.dtype), mode="drop")
+            dirty = dirty.at[safe].set(False, mode="drop")
+            # Freed blocks change the site set -> their region re-solves.
+            edirty = edirty.at[safe].set(True, mode="drop")
+            return (jax.tree.map(lambda x: x[None], state),
+                    {k: v[None] for k, v in channels.items()},
+                    dirty[None], edirty[None])
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state),
+                      {k: spec for k in self.channels}, spec, spec),
+            out_specs=(jax.tree.map(lambda _: spec, self.state),
+                       {k: spec for k in self.channels}, spec, spec))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+    def decay(self) -> None:
+        """TSDF (+ occupancy) decay with decayed-block deallocation on
+        every shard (parity: the decay integrators + block recycling,
+        mapper_initialization.cpp:382-428, at shard scope)."""
+        (self.state, self.channels, self.dirty,
+         self.esdf_dirty) = self._decay(
+            self.state, self.channels, self.dirty, self.esdf_dirty)
+
     # ----------------------------------------------------------------- esdf
     def _build_esdf(self):
-        """Sharded exact dense EDT: one halo exchange, three local passes.
+        """Sharded exact dense EDT: two halo exchanges, three local passes.
 
-        Per shard the solve covers its owned slab plus `hb` halo block
-        layers per side along x (hb = ceil(band/8)), whose site data
-        arrives from the neighbors with a single ppermute each way. The y
-        and z passes are shard-local. Results are exact — identical to the
-        single-device dense EDT on the union map.
+        Per shard the solve covers its owned tile plus `hb` halo block
+        layers per inner side (hb = ceil(band/8)). Site data arrives in two
+        ppermute steps — y halos first, then x halos of the y-extended slab
+        (which carries diagonal corners). Incremental at shard granularity:
+        a shard with no dirty blocks whose neighbors' boundary regions are
+        also clean keeps its previous field (scalar flags ride the same
+        exchange pattern).
         """
         c = self.config
         ep = self.params.esdf
         vs = c.voxel_size_m
-        L = c.slab_width
+        nx, ny = c.grid
+        Lx, Ly = c.tile_dims
         cap = c.capacity_per_shard
-        Dy, Dz = c.global_dims[1], c.global_dims[2]
-        n = c.n_shards
+        Dz = c.global_dims[2]
         band = int(np.ceil(ep.max_esdf_distance_m / vs))
-        hb = (band + 7) // 8        # halo width in block layers
+        hb = (band + 7) // 8
+        hx = hb if nx > 1 else 0
+        hy = hb if ny > 1 else 0
         INF = ed.INF
+        perms_x = self._perms("x")
+        perms_y = self._perms("y")
+        interp = jax.default_backend() != "tpu"
 
-        def g0_layers(state, g0, x_lo: int, width: int):
-            """Dense site rows for local grid layers [x_lo, x_lo+width):
-            f32[width, Dy*Dz, 512] (INF where unallocated)."""
-            outs = []
-            for x in range(x_lo, x_lo + width):
-                yz_slots = state.slot_grid[x].reshape(-1)
-                data = g0[jnp.clip(yz_slots, 0, cap - 1)]
-                data = jnp.where((yz_slots >= 0)[:, None], data, INF)
-                outs.append(data)
-            return jnp.stack(outs)
+        def dense_sites(state, g0):
+            """Owned-tile dense site rows f32[Lx, Ly, Dz, 512]."""
+            slots = state.slot_grid[1:Lx + 1, 1:Ly + 1, :]
+            data = g0[jnp.clip(slots, 0, cap - 1)]
+            return jnp.where((slots >= 0)[..., None], data, INF)
 
-        def local(state, tsdf_d, tsdf_w):
-            state = jax.tree.map(lambda x: x[0], state)
-            tsdf_d = tsdf_d[0]
-            tsdf_w = tsdf_w[0]
+        def solve(state, tsdf_d, tsdf_w):
             is_site, _, _ = esdf_ops.esdf_sites_from_tsdf(
                 tsdf_d, tsdf_w, voxel_size_m=jnp.float32(vs),
                 max_site_distance_vox=float(ep.max_site_distance_vox),
                 min_weight=float(ep.min_weight))
             g0 = jnp.where(is_site, np.float32(0.0), INF)
-
-            # Owned slab layers are local x in [1, L]; exchange hb boundary
-            # layers of sites each way (ring wrap dropped at the ends).
-            send_r = g0_layers(state, g0, L + 1 - hb, hb)   # my right edge
-            send_l = g0_layers(state, g0, 1, hb)            # my left edge
-            right = [(i, (i + 1) % n) for i in range(n)]
-            left = [(i, (i - 1) % n) for i in range(n)]
-            from_l = jax.lax.ppermute(send_r, "space", right)
-            from_r = jax.lax.ppermute(send_l, "space", left)
+            S = dense_sites(state, g0)              # [Lx, Ly, Dz, 512]
             idx = jax.lax.axis_index("space")
-            from_l = jnp.where(idx > 0, from_l, INF)
-            from_r = jnp.where(idx < n - 1, from_r, INF)
+            sx, sy = idx // ny, idx % ny
 
-            own = g0_layers(state, g0, 1, L)                # [L, Dy*Dz, 512]
-            slab = jnp.concatenate([from_l, own, from_r])   # [L+2hb, ...]
-            # Pad the region's x extent to a multiple of 8 (Mosaic block
-            # constraint on the pass kernels); pad layers hold no sites.
-            Sx_real = L + 2 * hb
-            Sx_pad8 = ((Sx_real + 7) // 8) * 8
-            if Sx_pad8 > Sx_real:
-                slab = jnp.concatenate(
-                    [slab, jnp.full((Sx_pad8 - Sx_real,) + slab.shape[1:],
-                                    INF)])
+            if hy:
+                up, dn = perms_y
+                from_dn = jax.lax.ppermute(S[:, Ly - hy:], "space", up)
+                from_up = jax.lax.ppermute(S[:, :hy], "space", dn)
+                from_dn = jnp.where(sy > 0, from_dn, INF)
+                from_up = jnp.where(sy < ny - 1, from_up, INF)
+                S = jnp.concatenate([from_dn, S, from_up], axis=1)
+            if hx:
+                right, left = perms_x
+                from_l = jax.lax.ppermute(S[Lx - hx:], "space", right)
+                from_r = jax.lax.ppermute(S[:hx], "space", left)
+                from_l = jnp.where(sx > 0, from_l, INF)
+                from_r = jnp.where(sx < nx - 1, from_r, INF)
+                S = jnp.concatenate([from_l, S, from_r], axis=0)
 
-            # Block-major x-pass rows: lines are (cy, cz) with x contiguous
-            # (+ INF halo/pad rows per line).
-            dims_b = (Sx_pad8, Dy, Dz)
+            # Pad region x/y extents to multiples of 8 (Mosaic pass-kernel
+            # block constraint); pad layers hold no sites.
+            Sx_real, Sy_real = Lx + 2 * hx, Ly + 2 * hy
+            Sx_pad = ((Sx_real + 7) // 8) * 8
+            Sy_pad = ((Sy_real + 7) // 8) * 8
+            S = jnp.pad(S, ((0, Sx_pad - Sx_real), (0, Sy_pad - Sy_real),
+                            (0, 0), (0, 0)), constant_values=INF)
+            dims_b = (Sx_pad, Sy_pad, Dz)
+
+            # Block-major x-pass rows: lines are (cy, cz), x contiguous.
             n_lines_x, Sx = ed._line_dims(dims_b, 0)
             rows_per_line = ed.line_rows(Sx, band)
             Hb = ed.halo_blocks(band)
-            rows_x = jnp.full((n_lines_x * rows_per_line, V), INF)
-            # slab is [x, (y*Dz + z)] == line index directly.
-            lanes = slab.transpose(1, 0, 2)                 # [Dy*Dz, X, 512]
+            lanes = S.reshape(Sx_pad, Sy_pad * Dz, V).transpose(1, 0, 2)
             lanes = jnp.pad(
                 lanes, ((0, 0), (Hb, rows_per_line - Sx - Hb), (0, 0)),
                 constant_values=INF)
@@ -329,55 +567,114 @@ class ShardedDeviceMapper:
 
             out_x = ed.edt_pass_blockmajor(
                 rows_x, n_lines=n_lines_x, Sb=Sx, band=band, axis=0,
-                binary_input=True,
-                interpret=jax.default_backend() != "tpu")
+                binary_input=True, interpret=interp)
             rows_y = ed._repad(out_x, dims_b, 0, 1, band)
             n_lines_y, Sy = ed._line_dims(dims_b, 1)
             out_y = ed.edt_pass_blockmajor(
                 rows_y, n_lines=n_lines_y, Sb=Sy, band=band, axis=1,
-                interpret=jax.default_backend() != "tpu")
+                interpret=interp)
             rows_z = ed._repad(out_y, dims_b, 1, 2, band)
             n_lines_z, Sz = ed._line_dims(dims_b, 2)
             out_z = ed.edt_pass_blockmajor(
                 rows_z, n_lines=n_lines_z, Sb=Sz, band=band, axis=2,
-                interpret=jax.default_backend() != "tpu")
+                interpret=interp)
 
-            # Gather each slot's row back (z-order compact, region-relative
-            # cell: local grid cell + (hb-1, 0, 0) since region x starts at
-            # local x = 1 - hb).
+            # Gather each slot's row back (region-relative cell: local grid
+            # cell + (hx-1, hy-1, 0) since the region starts one ghost +
+            # halo before the owned tile).
             cells = (state.block_index_of_slot
                      - state.origin_block[None, :])
-            cells = cells.at[:, 0].add(hb - 1)
+            cells = cells.at[:, 0].add(hx - 1).at[:, 1].add(hy - 1)
             live = wg.live_slot_mask(state)
             in_r = (live & (cells[:, 0] >= 0) & (cells[:, 0] < dims_b[0])
-                    & (cells[:, 1] >= 0) & (cells[:, 1] < Dy)
+                    & (cells[:, 1] >= 0) & (cells[:, 1] < dims_b[1])
                     & (cells[:, 2] >= 0) & (cells[:, 2] < Dz))
             row_z = ed._row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2],
                                     dims_b, 2, band, padded=False)
             row_z = jnp.clip(row_z, 0, out_z.shape[0] - 1)
             sq = out_z[row_z]
             sq = jnp.where(in_r[:, None], sq, INF)
-            sq = jnp.where(sq <= np.float32(band * band), sq, INF)
-            return sq[None]
+            return jnp.where(sq <= np.float32(band * band), sq, INF)
+
+        def local(state, tsdf_d, tsdf_w, edirty, sq_old):
+            state = jax.tree.map(lambda x: x[0], state)
+            tsdf_d, tsdf_w = tsdf_d[0], tsdf_w[0]
+            edirty = edirty[0]
+            sq_old = sq_old[0]
+
+            # Incremental shard skip: a shard re-solves iff its own blocks
+            # changed or a neighbor's boundary region did. Boundary flags
+            # ride the same y-then-x pattern as the site halos, so diagonal
+            # dirt reaches corners (x flags fold in the received y flags —
+            # conservative for pure-corner changes).
+            live = wg.live_slot_mask(state)
+            ed_live = edirty & live
+            own_any = jnp.any(ed_live)
+            lx = state.block_index_of_slot[:, 0] - state.origin_block[0]
+            ly = state.block_index_of_slot[:, 1] - state.origin_block[1]
+            idx = jax.lax.axis_index("space")
+            sx, sy = idx // ny, idx % ny
+            zero = jnp.zeros((), jnp.int32)
+            r_dn = r_up = zero
+            if hy:
+                up, dn = perms_y
+                f_up = jnp.any(ed_live & (ly >= Ly + 1 - hb)).astype(
+                    jnp.int32)
+                f_dn = jnp.any(ed_live & (ly <= hb)).astype(jnp.int32)
+                r_dn = jax.lax.ppermute(f_up, "space", up)
+                r_up = jax.lax.ppermute(f_dn, "space", dn)
+                r_dn = jnp.where(sy > 0, r_dn, 0)
+                r_up = jnp.where(sy < ny - 1, r_up, 0)
+            r_l = r_r = zero
+            if hx:
+                right, left = perms_x
+                near_r = jnp.any(ed_live & (lx >= Lx + 1 - hb)).astype(
+                    jnp.int32)
+                near_l = jnp.any(ed_live & (lx <= hb)).astype(jnp.int32)
+                y_in = jnp.maximum(r_dn, r_up)
+                f_r = jnp.maximum(near_r, y_in)
+                f_l = jnp.maximum(near_l, y_in)
+                r_l = jax.lax.ppermute(f_r, "space", right)
+                r_r = jax.lax.ppermute(f_l, "space", left)
+                r_l = jnp.where(sx > 0, r_l, 0)
+                r_r = jnp.where(sx < nx - 1, r_r, 0)
+            need = (own_any | (r_dn > 0) | (r_up > 0) | (r_l > 0)
+                    | (r_r > 0))
+
+            # NOTE: both branches run the same collectives (the site
+            # exchange happens inside solve) — lax.cond with collectives
+            # diverging per shard would deadlock, so the predicate `need`
+            # is made GLOBAL with a psum: any shard needing a solve makes
+            # all shards participate (they still skip nothing locally, but
+            # a fully-static map skips everywhere — the common idle case).
+            need_global = jax.lax.psum(need.astype(jnp.int32), "space") > 0
+            sq = jax.lax.cond(
+                need_global,
+                lambda _: solve(state, tsdf_d, tsdf_w),
+                lambda _: sq_old, None)
+            edirty = jnp.where(need_global, jnp.zeros_like(edirty), edirty)
+            return sq[None], edirty[None]
 
         spec = P("space")
         fn = shard_map(
             local, mesh=self.mesh,
-            in_specs=(jax.tree.map(lambda _: spec, self.state), spec, spec),
-            out_specs=spec)
-        return jax.jit(fn)
+            in_specs=(jax.tree.map(lambda _: spec, self.state), spec, spec,
+                      spec, spec),
+            out_specs=(spec, spec))
+        return jax.jit(fn, donate_argnums=(4,))
 
     def update_esdf(self) -> None:
-        self.channels["esdf_sq_dist"] = self._esdf(
+        self.channels["esdf_sq_dist"], self.esdf_dirty = self._esdf(
             self.state, self.channels["tsdf_distance"],
-            self.channels["tsdf_weight"])
+            self.channels["tsdf_weight"], self.esdf_dirty,
+            self.channels["esdf_sq_dist"])
 
     # ----------------------------------------------------------------- mesh
     def _build_mesh(self):
         c = self.config
         vs = c.voxel_size_m
         cap = c.capacity_per_shard
-        L = c.slab_width
+        Lx, Ly = c.tile_dims
         mb = c.mesh_max_blocks
         min_w = float(self.params.mesh.min_weight)
 
@@ -393,7 +690,10 @@ class ShardedDeviceMapper:
             # Mesh owned blocks only (ghost copies are meshed by the owner).
             x_local = (state.block_index_of_slot[:, 0]
                        - state.origin_block[0])
-            owned = (x_local >= 1) & (x_local <= L)
+            y_local = (state.block_index_of_slot[:, 1]
+                       - state.origin_block[1])
+            owned = ((x_local >= 1) & (x_local <= Lx)
+                     & (y_local >= 1) & (y_local <= Ly))
             slots, bidx = _compact_dirty_impl(state, dirty & owned,
                                               max_blocks=mb)
             nbrs = wg.neighbor_slots_of(state, bidx)
@@ -456,13 +756,15 @@ class ShardedDeviceMapper:
     def owned_block_mask(self, shard: int) -> np.ndarray:
         """Host: which slots of `shard` are non-ghost (owned) blocks."""
         c = self.config
-        L = c.slab_width
+        Lx, Ly = c.tile_dims
         state_np = jax.tree.map(np.asarray, self.state)
         count = int(state_np.alloc_count[shard])
         bidx = state_np.block_index_of_slot[shard][:count]
         x_local = bidx[:, 0] - state_np.origin_block[shard][0]
-        return (x_local >= 1) & (x_local <= L) \
-            & (bidx[:, 0] < wg.FREED_BLOCK_SENTINEL)
+        y_local = bidx[:, 1] - state_np.origin_block[shard][1]
+        return ((x_local >= 1) & (x_local <= Lx)
+                & (y_local >= 1) & (y_local <= Ly)
+                & (bidx[:, 0] < wg.FREED_BLOCK_SENTINEL))
 
     def total_owned_blocks(self) -> int:
         return sum(int(self.owned_block_mask(s).sum())

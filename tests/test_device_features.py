@@ -316,3 +316,42 @@ def test_workspace_bounds_on_lidar_path():
     z_lo = bidx[:, 2] * 8 * VOXEL
     z_hi = z_lo + 8 * VOXEL
     assert (z_hi > 0.8).all() and (z_lo < 1.6).all()
+
+
+def test_freespace_fullpool_matches_batch_path():
+    """The full-pool + dense-dilation freespace fast path must agree with
+    the view-batch + sliced-halo formulation (same pose -> all allocated
+    blocks in frustum, so the per-voxel vs per-block coverage semantics
+    coincide)."""
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import _freespace_fused
+    m = _mapper(enable_freespace=True)
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    assert m.block_count() > 0
+    chans = {k: m.channels[k] + 0 for k in
+             ("freespace_consecutive_ms", "freespace_last_occupied_ms",
+              "freespace_high_confidence")}
+    args = (m.state, m.channels["tsdf_distance"], m.channels["tsdf_weight"],
+            jnp.asarray(T, jnp.float32))
+    kw = dict(camera=CAM, voxel_size_m=VOXEL, params=m.params.freespace,
+              view_distance_m=7.0, max_blocks=m.max_blocks_per_frame)
+    outs = {}
+    for name in ("batch", "dense"):
+        if name == "dense":
+            origin, dims = m.esdf_region(margin_blocks=0)
+            extra = dict(dims_b=tuple(int(d) for d in dims))
+            org = jnp.asarray(origin, jnp.int32)
+        else:
+            extra = dict(dims_b=None)
+            org = None
+        c = {k: v + 0 for k, v in chans.items()}
+        cons, last, hc = c.values()
+        for t_ms in (300.0, 1500.0, 3000.0):
+            cons, last, hc = _freespace_fused(
+                cons, last, hc, *args, jnp.float32(t_ms),
+                jnp.float32(t_ms - 300.0), org, **kw, **extra)
+        outs[name] = (np.asarray(cons), np.asarray(last), np.asarray(hc))
+    n = m.block_count()
+    for a, b in zip(outs["batch"], outs["dense"]):
+        np.testing.assert_array_equal(a[:n], b[:n])
+    assert outs["dense"][2][:n].sum() > 1000   # hc actually promoted

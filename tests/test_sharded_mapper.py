@@ -208,3 +208,132 @@ def test_shard_overflow_counted():
     sharded.update_esdf()
     assert np.isfinite(np.asarray(
         sharded.channels["esdf_sq_dist"])).all() or True
+
+
+def test_sharded_2d_grid_matches_single_device():
+    """2-D (x,y) tile decomposition (SURVEY §5.8): TSDF and cross-tile
+    ESDF must be bitwise-equal to the single-device solve, including
+    across y boundaries and corners (two-step halo exchange)."""
+    scene = Scene(primitives=(Sphere(center=(0.3, 0.2, 1.0), radius=0.5),))
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, shard_grid=(4, 2), global_dims=(32, 32, 16),
+        origin_block=(-16, -16, -4), capacity_per_shard=1024,
+        voxel_size_m=VOXEL, max_blocks_per_frame=1024)
+    params = MapperParams(esdf=EsdfIntegratorParams(max_esdf_distance_m=1.0))
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg, params)
+    single = DeviceMapper(
+        voxel_size_m=VOXEL, params=params,
+        world=wg.WorldGridConfig(dims=(32, 32, 16), capacity=8192,
+                                 origin_block=(-16, -16, -4)),
+        enable_color=False, enable_esdf=True, max_blocks_per_frame=4096)
+    for depth, T in _frames(scene, n=2):
+        sharded.integrate_depth(depth, T)
+        single.integrate_depth(depth, T, CAM)
+    assert sharded.total_owned_blocks() == single.block_count()
+    sharded.update_esdf()
+    single.update_esdf()
+    single_sq = np.asarray(single.channels["esdf_sq_dist"])
+    state = jax.tree.map(np.asarray, sharded.state)
+    n_checked = 0
+    for s in range(8):
+        mask = sharded.owned_block_mask(s)
+        count = int(state.alloc_count[s])
+        bidx = state.block_index_of_slot[s][:count][mask]
+        sq = np.asarray(sharded.channels["esdf_sq_dist"])[s][:count][mask]
+        for i, bi in enumerate(bidx.tolist()):
+            ss = int(np.asarray(single.state.slot_grid)[
+                bi[0] + 16, bi[1] + 16, bi[2] + 4])
+            np.testing.assert_array_equal(sq[i], single_sq[ss],
+                                          err_msg=str(bi))
+            n_checked += sq[i].size
+    assert n_checked > 20000
+
+
+def test_sharded_esdf_incremental_skip():
+    """A clean map skips the sharded solve entirely (the shard-level
+    incremental path): the stored field — deliberately corrupted — is NOT
+    recomputed until a block becomes dirty again."""
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.6),))
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024)
+    params = MapperParams(esdf=EsdfIntegratorParams(max_esdf_distance_m=1.0))
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg, params)
+    depth, T = _frames(scene, n=1)[0]
+    sharded.integrate_depth(depth, T)
+    sharded.update_esdf()           # solves, clears esdf_dirty
+    poisoned = sharded.channels["esdf_sq_dist"] + 123.0
+    poisoned_np = np.asarray(poisoned)   # host copy (the field is donated)
+    sharded.channels["esdf_sq_dist"] = jax.device_put(
+        poisoned, sharded._sharding)
+    sharded.update_esdf()           # nothing dirty -> must skip
+    np.testing.assert_array_equal(
+        np.asarray(sharded.channels["esdf_sq_dist"]), poisoned_np)
+    # New integration dirties blocks -> the next update re-solves.
+    sharded.integrate_depth(depth, T)
+    sharded.update_esdf()
+    assert not np.array_equal(
+        np.asarray(sharded.channels["esdf_sq_dist"]), poisoned_np)
+
+
+def test_sharded_view_skip_flags():
+    """Shards whose tile cannot intersect the frustum skip the whole
+    integrate body: their pools stay empty."""
+    scene = Scene(primitives=(Sphere(center=(2.2, 0.0, 1.0), radius=0.4),))
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024)
+    from isaac_ros_nvblox_tpu.ops.tsdf import TsdfIntegratorParams
+    params = MapperParams(
+        projective=TsdfIntegratorParams(max_integration_distance_m=2.0))
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg, params)
+    # Camera near the +x end looking at the sphere: the leftmost tiles
+    # (x < -2 m - range) cannot intersect the 2 m ball.
+    T = orbit_pose(0.0, radius=1.0, height=1.0, target=(2.2, 0, 1.0))
+    T[:3, 3] += np.asarray([2.2, 0, 0])
+    flags = np.asarray(sharded._view_flags(T))
+    assert flags.sum() < 8 and flags.sum() >= 1
+    depth = render_depth(scene, CAM, jnp.asarray(T))
+    sharded.integrate_depth(depth, T)
+    counts = np.asarray(jax.tree.map(np.asarray,
+                                     sharded.state).alloc_count)
+    assert (counts[np.nonzero(flags == 0)[0]] == 0).all()
+    assert counts.sum() > 0
+
+
+def test_sharded_occupancy_and_decay():
+    """Occupancy integration + TSDF/occupancy decay with slot recycling on
+    the shards (the single mapper's feature matrix at shard scope)."""
+    import dataclasses as dc
+    from isaac_ros_nvblox_tpu.ops.decay import TsdfDecayParams
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.6),))
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024, enable_occupancy=True)
+    params = MapperParams(tsdf_decay=TsdfDecayParams(
+        decay_factor=0.1, decayed_weight_threshold=1e-3))
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg, params)
+    depth, T = _frames(scene, n=1)[0]
+    sharded.integrate_depth(depth, T)
+    sharded.integrate_depth_occupancy(depth, T)
+    lo = np.asarray(sharded.channels["occupancy_log_odds"])
+    ob = np.asarray(sharded.channels["occupancy_observed"])
+    assert (lo > 0).sum() > 100      # occupied evidence at the surface
+    assert ob.sum() > 1000
+    before = int(np.asarray(jax.tree.map(
+        np.asarray, sharded.state).alloc_count).sum())
+    assert before > 0
+    for _ in range(4):               # aggressive decay kills the weights
+        sharded.decay()
+    w = np.asarray(sharded.channels["tsdf_weight"])
+    assert w.max() < 0.1
+    after = int(np.asarray(jax.tree.map(
+        np.asarray, sharded.state).free_count).sum())
+    assert after > 0                 # decayed blocks were recycled

@@ -70,6 +70,9 @@ def main():
     # Build the map + freespace once so detection has real hc content.
     times0 = jnp.asarray(25.0 * np.arange(n_steps), jnp.float32)
     mm.replay_frames_dynamic(depths_r, poses_r, times0, camera)
+    region = sm.esdf_region(margin_blocks=0)
+    free_origin_b = jnp.asarray(region[0], jnp.int32)
+    free_dims_b = tuple(int(d) for d in region[1])
 
     snap = (sm.state, dict(sm.channels), sm.dirty, sm.esdf_dirty,
             dmap.state, dict(dmap.channels), dmap.dirty, dmap.esdf_dirty)
@@ -133,14 +136,16 @@ def main():
                 fparams = (dataclasses.replace(free_params,
                                                check_neighborhood=False)
                            if "nonbr" in stages else free_params)
+                dims = None if "slow" in stages else free_dims_b
+                org = None if "slow" in stages else free_origin_b
                 cons, last, hc = dm._freespace_fused(
                     sch["freespace_consecutive_ms"],
                     sch["freespace_last_occupied_ms"],
                     sch["freespace_high_confidence"], ss,
                     sch["tsdf_distance"], sch["tsdf_weight"], T, t_ms,
-                    last_ms, camera=camera, voxel_size_m=vs,
+                    last_ms, org, camera=camera, voxel_size_m=vs,
                     params=fparams, view_distance_m=maxd,
-                    max_blocks=max_blocks)
+                    max_blocks=max_blocks, dims_b=dims)
                 sch = dict(sch, freespace_consecutive_ms=cons,
                            freespace_last_occupied_ms=last,
                            freespace_high_confidence=hc)
@@ -170,8 +175,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best * 1e3 / n_steps
 
-    variants = ["", "detect", "det2", "detp", "tsdf", "free", "occ",
-                "detp+tsdf+occ+free", "detect+tsdf+occ+free"]
+    variants = ["", "detp", "tsdf", "free", "free_slow", "occ",
+                "detp+tsdf+occ+free"]
     out = {}
     for v in variants:
         timed(v, reps=1)  # compile
