@@ -157,14 +157,13 @@ def render_color(scene: Scene, camera: Camera, T_L_C, *,
     return rgb.reshape(camera.height, camera.width, 3)
 
 
-def orbit_pose(t: float, radius: float = 2.0, height: float = 1.5,
-               target=(0.0, 0.0, 1.0)) -> np.ndarray:
-    """Camera pose orbiting and looking at `target` (layer frame, z-up).
+def look_at_pose(eye, target) -> np.ndarray:
+    """Camera pose at `eye` looking at `target` (layer frame, z-up).
 
-    Returns T_L_C f32[4,4] with camera convention x-right, y-down, z-forward.
-    """
+    Returns T_L_C f32[4,4] with camera convention x-right, y-down,
+    z-forward."""
     target = np.asarray(target, np.float64)
-    eye = np.asarray([radius * np.cos(t), radius * np.sin(t), height])
+    eye = np.asarray(eye, np.float64)
     fwd = target - eye
     fwd = fwd / np.linalg.norm(fwd)
     world_up = np.asarray([0.0, 0.0, 1.0])
@@ -180,3 +179,11 @@ def orbit_pose(t: float, radius: float = 2.0, height: float = 1.5,
     T[:3, :3] = R
     T[:3, 3] = eye
     return T
+
+
+def orbit_pose(t: float, radius: float = 2.0, height: float = 1.5,
+               target=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """Camera pose orbiting (circle about the layer origin) and looking
+    at `target`."""
+    return look_at_pose([radius * np.cos(t), radius * np.sin(t), height],
+                        target)

@@ -57,7 +57,12 @@ cfg = ShardedMapperConfig(
     n_shards=n, global_dims=(8 * n, 32, 16), origin_block=(-4 * n, -16, -4),
     capacity_per_shard=2048, voxel_size_m=0.05, max_blocks_per_frame=1024,
     mesh_max_blocks=256)
-params = MapperParams(esdf=EsdfIntegratorParams(max_esdf_distance_m=1.0))
+from isaac_ros_nvblox_tpu.ops.tsdf import TsdfIntegratorParams
+# 2.5 m range: each frame sees only its own tile's sphere, so owned
+# blocks grow ~linearly with n (clean weak scaling).
+params = MapperParams(
+    esdf=EsdfIntegratorParams(max_esdf_distance_m=1.0),
+    projective=TsdfIntegratorParams(max_integration_distance_m=2.5))
 m = ShardedDeviceMapper(mesh, cam, cfg, params)
 bs = 0.05 * 8
 frames = []
@@ -68,7 +73,9 @@ for s in range(n):
 scene = Scene(primitives=tuple(prims))
 for s in range(n):
     cx = (-4 * n + (s + 0.5) * 8) * bs
-    T = orbit_pose(2 * np.pi * s / 8, radius=2.0, height=1.0,
+    # Same orbit angle for every tile: identical per-tile geometry, so
+    # owned blocks grow linearly in n.
+    T = orbit_pose(np.pi / 4, radius=2.0, height=1.0,
                    target=(cx, 0, 1.0))
     T[:3, 3] += np.asarray([cx, 0.0, 0.0])
     frames.append((np.asarray(render_depth(scene, cam, jnp.asarray(T))), T))
