@@ -164,7 +164,8 @@ def integrate_color_pallas(color_r, color_g, color_b, color_weight,
     has_depth = jnp.any(d_valid > 0.0).astype(jnp.float32)
     planes = jnp.stack([color_image[..., 0], color_image[..., 1],
                         color_image[..., 2], d_valid])        # (4, H, W)
-    levels = [planes[:, :: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
+    from isaac_ros_nvblox_tpu.ops.tsdf_pallas import build_decimation_levels
+    levels = build_decimation_levels(planes)
 
     (level, u0, v0, shift, valid, safe_slots, ut, vt,
      pcz) = footprint_prepass(slots, block_indices, T_L_C, camera=camera,

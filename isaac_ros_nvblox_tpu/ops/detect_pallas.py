@@ -167,8 +167,9 @@ def detect_dynamic_pallas(state, high_confidence, depth, T_L_C, slots,
     slots, block_indices = pad_batch(slots, block_indices, cap)
     N = slots.shape[0]
 
+    from isaac_ros_nvblox_tpu.ops.tsdf_pallas import build_decimation_levels
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-    levels = [depth[:: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
+    levels = build_decimation_levels(depth)
     levels = [jnp.pad(l, ((0, max(0, TILE_V - l.shape[0])),
                           (0, max(0, TILE_U - l.shape[1]))))
               if (l.shape[0] < TILE_V or l.shape[1] < TILE_U) else l

@@ -53,7 +53,8 @@ def integrate_tsdf_lidar_pallas(distance, weight, slots, block_indices,
                     range_image, 0.0)
     # Wrap margin: blocks near the -pi/pi seam sample columns [A, A+TILE_U).
     img_ext = jnp.concatenate([img, img[:, :TILE_U]], axis=1)
-    levels = [img_ext[:: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
+    from isaac_ros_nvblox_tpu.ops.tsdf_pallas import build_decimation_levels
+    levels = build_decimation_levels(img_ext)
     W_EXT = A + TILE_U
 
     # --- per-block tile parameters (spherical analogue of the camera

@@ -135,7 +135,8 @@ def integrate_occupancy_pallas(log_odds, observed, slots, block_indices,
     N = slots.shape[0]
 
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-    levels = [depth[:: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
+    from isaac_ros_nvblox_tpu.ops.tsdf_pallas import build_decimation_levels
+    levels = build_decimation_levels(depth)
     H, W = depth.shape
 
     (level, u0, v0, shift, valid, safe_slots, ut, vt,

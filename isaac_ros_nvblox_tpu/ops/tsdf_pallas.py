@@ -188,6 +188,38 @@ def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
     w_out[:, :] = jnp.where(update, w_fused, w_old)
 
 
+def _decimation_onehot(n: int):
+    """One-hot column-select matrix f32[n, ceil(n/2)]: X @ S == X[:, ::2].
+
+    Lane-dim strided slices ([::2] on the minor axis) lower to cross-lane
+    shuffles on TPU — measured ~1 ms/frame for the 5-level pyramid — while
+    a one-hot select is an MXU matmul (~free). f32 one-hots keep the
+    selection bit-exact.
+    """
+    m = (n + 1) // 2
+    i = jnp.arange(m, dtype=jnp.int32)[None, :]
+    j = jnp.arange(n, dtype=jnp.int32)[:, None]
+    return (j == 2 * i).astype(jnp.float32)
+
+
+def build_decimation_levels(img, n_levels: int = N_LEVELS):
+    """Nearest-sample decimation pyramid [img, img[::2,::2], ...] with the
+    striding done as one-hot MXU matmuls on the last two axes (bit-exact
+    equal to strided slicing; see _decimation_onehot). `img` may carry
+    leading batch axes (e.g. the color kernel's 4 planes)."""
+    levels = [img]
+    cur = img
+    for _ in range(1, n_levels):
+        h, w = cur.shape[-2], cur.shape[-1]
+        sh = _decimation_onehot(h)   # (h, h2)
+        sw = _decimation_onehot(w)   # (w, w2)
+        cur = jnp.einsum("hk,...hw->...kw", sh, cur,
+                         preferred_element_type=jnp.float32)
+        cur = jnp.matmul(cur, sw, preferred_element_type=jnp.float32)
+        levels.append(cur)
+    return levels
+
+
 def pad_batch(slots, block_indices, cap: int):
     """Pad a view batch to a multiple of NB (padding slots carry `cap`)."""
     N = slots.shape[0]
@@ -304,7 +336,7 @@ def integrate_tsdf_pallas(distance, weight, slots, block_indices, depth,
 
     # Decimated pyramid levels (sampling semantics -> strided views).
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-    levels = [depth[:: 2 ** l, :: 2 ** l] for l in range(N_LEVELS)]
+    levels = build_decimation_levels(depth)
     H, W = depth.shape
 
     (level, u0, v0, shift, valid, safe_slots, ut, vt,
