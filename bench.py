@@ -246,6 +246,54 @@ def main():
 
     fps = 1000.0 / (tsdf_ms + esdf_ms)
 
+    # --- Large-scene variant (round-1-scale map, cross-round
+    # comparability): a 10 x 7.2 x 3.2 m room at the library-default 7 m
+    # integration range gives ~3x the allocated blocks of the headline
+    # scene; reported separately so kernel-time scaling with map size is
+    # visible round over round (VERDICT r2 weak #4 / next #7).
+    big_scene = Scene(primitives=(
+        RoomBox(center=(0.0, 0.0, 1.6), half_extents=(5.0, 3.6, 1.6)),
+        Sphere(center=(1.2, 0.8, 1.0), radius=0.5),
+        Box(center=(-1.5, -1.0, 0.4), half_extents=(0.4, 0.4, 0.4)),
+        Box(center=(2.8, -1.8, 0.6), half_extents=(0.5, 0.3, 0.6)),
+    ))
+    big_params = MapperParams(
+        projective=TsdfIntegratorParams(max_integration_distance_m=7.0))
+    big_mapper = DeviceMapper(
+        voxel_size_m=voxel_size, params=big_params,
+        world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
+                              origin_block=(-32, -32, -8)),
+        enable_color=False, enable_esdf=True,
+        max_blocks_per_frame=4096)
+    big_depths = jnp.stack([
+        render_depth(big_scene, camera,
+                     jnp.asarray(orbit_pose(2 * np.pi * k / n_frames,
+                                            radius=2.0)))
+        for k in range(n_frames)])
+    big_poses = jnp.stack([
+        jnp.asarray(orbit_pose(2 * np.pi * k / n_frames, radius=2.0))
+        for k in range(n_frames)])
+    big_depths_r = jnp.concatenate([big_depths] * 4)
+    big_poses_r = jnp.concatenate([big_poses] * 4)
+    _barrier(big_mapper.replay_frames(big_depths_r, big_poses_r, camera))
+    big_region = big_mapper.esdf_region()
+    _barrier(big_mapper.replay_frames(big_depths_r, big_poses_r, camera,
+                                      esdf_every=1, esdf_region=big_region))
+    n_blocks_big = big_mapper.block_count()
+
+    def timed_big(reps=3, **kw):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _barrier(big_mapper.replay_frames(big_depths_r, big_poses_r,
+                                              camera, **kw))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3 / n_steps
+
+    tsdf_ms_big = timed_big()
+    esdf_ms_big = max(timed_big(esdf_every=1, esdf_region=big_region)
+                      - tsdf_ms_big, 0.0)
+
     # --- Accuracy vs the analytic scene (reconstruction parity check). ---
     from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
     from isaac_ros_nvblox_tpu.ops.esdf import INF_SQ
@@ -284,6 +332,9 @@ def main():
         "tsdf_mae_m": round(tsdf_mae, 4),
         "esdf_mae_m": round(esdf_mae, 4),
         "allocated_blocks": n_blocks,
+        "tsdf_ms_large_scene": round(tsdf_ms_big, 3),
+        "esdf_ms_large_scene": round(esdf_ms_big, 3),
+        "allocated_blocks_large_scene": n_blocks_big,
         "device": str(jax.devices()[0]),
     }))
 

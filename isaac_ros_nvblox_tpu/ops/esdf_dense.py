@@ -84,10 +84,18 @@ _NL = 8   # lines per program (amortizes per-program overhead ~8x)
 _EP = 8   # INF edge-pad rows around the stacked block in scratch
 
 
-def _pass_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
-                 m: int, NL: int):
+def _pass_kernel(flag_ref, in_ref, out_ref, c_ref, *, Sb: int, Hb: int,
+                 band: int, m: int, NL: int):
     """NL stacked lines: banded 1-D min-plus along the scan axis.
 
+    flag_ref: i32[n_grid] scalar-prefetch per-program occupancy flags —
+             0 means every input row of this program is INF (no site
+             reaches any of its lines), so the whole candidate loop is
+             skipped and the output filled INF (bit-exact: all-INF input
+             yields min(INF, INF + k^2) = INF). This makes pass cost
+             track *occupied* lines rather than region-AABB volume — the
+             corridor pathology (long mostly-empty AABB) prunes to the
+             lines that actually hold sites.
     in_ref:  f32[NL * Sp, 512] NL independent lines, each Sp =
              line_rows(Sb, band) rows with halo/pad rows = INF.
     out_ref: f32[NL * Sb, 512] results for each line's center blocks.
@@ -101,6 +109,20 @@ def _pass_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
     only land in halo rows, which the caller discards. The INF edge pad
     keeps the shifted slices in-bounds at the block boundary.
     """
+    i = pl.program_id(0)
+
+    @pl.when(flag_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.full(out_ref.shape, INF)
+
+    @pl.when(flag_ref[i] > 0)
+    def _():
+        _pass_body(in_ref, out_ref, c_ref, Sb=Sb, Hb=Hb, band=band, m=m,
+                   NL=NL)
+
+
+def _pass_body(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
+               m: int, NL: int):
     L = in_ref.shape[0]
     x = in_ref[:]
 
@@ -155,8 +177,8 @@ def _binary_steps(band: int):
     return tuple(steps)
 
 
-def _pass1_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
-                  m: int, NL: int):
+def _pass1_kernel(flag_ref, in_ref, out_ref, c_ref, *, Sb: int, Hb: int,
+                  band: int, m: int, NL: int):
     """First-pass specialization: input rows are exactly {0, INF} (site
     seeds), so the parabola min-plus equals (L1 distance to the nearest
     site)^2 — and L1 min-plus LOG-DOUBLES (the |k| kernel is min-plus
@@ -169,7 +191,24 @@ def _pass1_kernel(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
     INF either way — and also squashes cross-line leakage (the doubling
     reach 2^{m+1}-1 can exceed the Hb-block halo, but any value crossing
     the >= band-voxel INF gap carries acc > band).
+
+    `flag_ref` whole-program skip as in `_pass_kernel` (all-INF programs
+    write INF, bit-exact).
     """
+    i = pl.program_id(0)
+
+    @pl.when(flag_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.full(out_ref.shape, INF)
+
+    @pl.when(flag_ref[i] > 0)
+    def _():
+        _pass1_body(in_ref, out_ref, c_ref, Sb=Sb, Hb=Hb, band=band, m=m,
+                    NL=NL)
+
+
+def _pass1_body(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
+                m: int, NL: int):
     L = in_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
     ls = (lane // m) % 8
@@ -243,17 +282,32 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
         kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
                                  NL=NL)
         scratch = [pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)]
+    # Per-program occupancy flags (scalar prefetch): a program whose whole
+    # input block is INF skips the candidate loop and writes INF — cost
+    # tracks occupied lines, not AABB volume. The any() reduction is one
+    # bandwidth-bound read; the skipped candidate loop is ~2*band VPU ops
+    # per row.
+    flags = jnp.any(rows.reshape(n_grid, NL * Sp * V) < INF,
+                    axis=1).astype(jnp.int32)
+
+    def _blk(i, *_prefetch):
+        return (i, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((NL * Sp, V), _blk,
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((NL * Sb, V), _blk,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
     out = pl.pallas_call(
         kern,
-        grid=(n_grid,),
-        in_specs=[pl.BlockSpec((NL * Sp, V), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((NL * Sb, V), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad * Sb, V), rows.dtype),
-        scratch_shapes=scratch,
         interpret=interpret,
-    )(rows)
+    )(flags, rows)
     return out[:n_lines * Sb]
 
 

@@ -103,3 +103,45 @@ def test_dense_edt_unallocated_gap_propagation():
     assert sq[1, 0] == pytest.approx(17.0 ** 2)
     # Slot 2 is unallocated -> INF.
     assert np.all(sq[2] >= ed.INF * 0.5)
+
+
+def test_dense_edt_corridor_pruned_programs_exact():
+    """Line-pruning skip: a long corridor whose AABB is mostly empty space
+    produces many all-INF pass programs; the skip branch must write INF
+    bit-exactly and leave occupied lines untouched (exact-match vs the
+    dense numpy reference)."""
+    band = 12
+    dims_b = (12, 4, 2)  # long in x; blocks cluster at both x ends
+    cap = 64
+    rng = np.random.default_rng(11)
+    corner_cells = []
+    for cx in (0, 1, 10, 11):
+        for cy in range(2):
+            for cz in range(2):
+                corner_cells.append((cx, cy, cz))
+    cells = np.zeros((cap, 3), np.int32)
+    cells[:len(corner_cells)] = np.asarray(corner_cells, np.int32)
+    n = len(corner_cells)
+    is_site = np.zeros((cap, 512), bool)
+    is_site[:n] = rng.random((n, 512)) < 0.01
+    origin = np.array([-5, 2, 0], np.int32)
+    bidx = cells + origin
+
+    sq = ed.esdf_from_sites_dense(
+        jnp.asarray(is_site), jnp.asarray(bidx), jnp.int32(n),
+        jnp.asarray(origin), dims_b=dims_b, band=band, interpret=True)
+    ref = ed.esdf_from_sites_reference(is_site, cells, n, dims_b, band)
+    np.testing.assert_array_equal(np.asarray(sq), ref)
+
+
+def test_dense_edt_all_empty_region():
+    """Every program skipped (no sites at all) -> all INF, no crash."""
+    cap = 16
+    cells = np.zeros((cap, 3), np.int32)
+    cells[0] = (1, 1, 0)
+    is_site = np.zeros((cap, 512), bool)  # allocated but zero sites
+    sq = ed.esdf_from_sites_dense(
+        jnp.asarray(is_site), jnp.asarray(cells), jnp.int32(1),
+        jnp.asarray(np.zeros(3, np.int32)), dims_b=(3, 3, 1), band=8,
+        interpret=True)
+    assert np.all(np.asarray(sq) == ed.INF)

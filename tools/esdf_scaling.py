@@ -1,0 +1,183 @@
+"""ESDF cost vs map size: does the dense EDT track occupied lines or AABB?
+
+The reference's site-driven wavefront scales with allocated blocks
+(nvblox mapper_initialization.cpp:197-200 drives incremental ESDF off the
+updated-block set). Our exact separable EDT runs over the allocated-AABB
+volume — this sweep measures whether the per-program line-pruning skip
+(ops/esdf_dense.py: scalar-prefetch occupancy flags) makes cost track
+*occupied* lines instead of AABB volume, including the corridor pathology
+(two occupied clusters at the ends of a mostly-empty AABB).
+
+Scenes are synthetic site layouts (room shells at 3 scales + a two-room
+"corridor" whose AABB is ~5x its occupied volume). Timing: K site-mask
+variants cycled inside ONE 64-step lax.scan whose carry accumulates the
+min over outputs (nothing DCE-able; relay dispatch cost amortized —
+CLAUDE.md bench methodology).
+
+Writes ESDF_SCALING.json and prints it.
+"""
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _room_shell(dims_b, cap):
+    """Allocated blocks = the shell (walls/floor/ceiling) of an
+    Nx x Ny x Nz block box; sites on each block's outer voxel face."""
+    Nx, Ny, Nz = dims_b
+    cells = []
+    for cx in range(Nx):
+        for cy in range(Ny):
+            for cz in range(Nz):
+                if (cx in (0, Nx - 1) or cy in (0, Ny - 1)
+                        or cz in (0, Nz - 1)):
+                    cells.append((cx, cy, cz))
+    return _site_map(dims_b, cells, cap)
+
+
+def _two_rooms(room_b, gap_b, cap):
+    """Two room shells separated by an empty gap along x: AABB volume is
+    ~(2 + gap/room)x the occupied volume -> pruning testbed."""
+    Nx, Ny, Nz = room_b
+    cells = []
+    for x0 in (0, Nx + gap_b):
+        for cx in range(Nx):
+            for cy in range(Ny):
+                for cz in range(Nz):
+                    if (cx in (0, Nx - 1) or cy in (0, Ny - 1)
+                            or cz in (0, Nz - 1)):
+                        cells.append((x0 + cx, cy, cz))
+    dims = (2 * Nx + gap_b, Ny, Nz)
+    return _site_map(dims, cells, cap)
+
+
+def _site_map(dims_b, cells, cap):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    n = len(cells)
+    assert n <= cap, (n, cap)
+    cells_np = np.zeros((cap, 3), np.int32)
+    cells_np[:n] = np.asarray(cells, np.int32)
+    # Surface-ish density: ~64 site voxels per shell block (one 8x8 face).
+    is_site = np.zeros((cap, 512), bool)
+    face = np.zeros((8, 8, 8), bool)
+    face[0, :, :] = True
+    is_site[:n] = face.reshape(-1)[None, :] & (rng.random((n, 512)) < 0.9)
+    return (jnp.asarray(is_site), jnp.asarray(cells_np), n, dims_b)
+
+
+def _occupied_program_frac(is_site_np, cells_np, n, dims_b, band):
+    """Fraction of pass-1 (x-axis) kernel programs with any occupied line
+    (the quantity the scalar-prefetch skip keys on)."""
+    from isaac_ros_nvblox_tpu.ops.esdf_dense import _NL
+    Nx, Ny, Nz = dims_b
+    has_site = is_site_np[:n].any(axis=1)
+    occ = np.zeros((Ny, Nz), bool)
+    for s in range(n):
+        if has_site[s]:
+            occ[cells_np[s, 1], cells_np[s, 2]] = True
+    lines = occ.reshape(-1)  # x-pass line order: (cy, cz)
+    n_prog = (len(lines) + _NL - 1) // _NL
+    pad = np.zeros(n_prog * _NL, bool)
+    pad[:len(lines)] = lines
+    return float(pad.reshape(n_prog, _NL).any(axis=1).mean())
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent /
+                          ".jax_cache"))
+    import jax.numpy as jnp
+
+    from isaac_ros_nvblox_tpu.ops.esdf_dense import esdf_from_sites_dense
+
+    band = 20  # 1 m at 0.05 m voxels (nvblox default esdf max distance 2 m
+    #            uses band 40 at bench scale; 20 keeps the sweep tractable
+    #            across 5 sizes — scaling *shape* is what's measured)
+    cap = 16384
+    K = 4        # site-mask variants cycled per scan step (defeat hoisting)
+    n_steps = 64
+
+    scenes = {
+        # Replica-office scale and up: shells of increasing block count.
+        "room_2k": _room_shell((16, 12, 8), cap),
+        "room_6k": _room_shell((28, 22, 10), cap),
+        "room_12k": _room_shell((40, 32, 12), cap),
+        # AABB ~4.3x occupied volume: the corridor pathology.
+        "two_rooms_gap": _two_rooms((16, 12, 8), 32, cap),
+    }
+
+    results = []
+    for name, (is_site, cells, n, dims_b) in scenes.items():
+        alloc = jnp.int32(n)
+        origin = jnp.zeros((3,), jnp.int32)
+        # K variants: jitter the site mask so each scan step's input is new.
+        rng = np.random.default_rng(17)
+        variants = jnp.stack([
+            is_site & jnp.asarray(rng.random((cap, 512)) < 0.97)
+            for _ in range(K)])
+
+        def step(carry, k, _v=variants, _a=alloc, _o=origin, _d=dims_b):
+            sq = esdf_from_sites_dense(_v[k], cells, _a, _o,
+                                       dims_b=_d, band=band)
+            return jnp.minimum(carry, sq), ()
+
+        @jax.jit
+        def run(_v=variants, _step=step):
+            init = jnp.full((cap, 512), np.float32(1e12))
+            ks = jnp.arange(n_steps, dtype=jnp.int32) % K
+            out, _ = jax.lax.scan(_step, init, ks)
+            return out
+
+        out = run()
+        float(jnp.sum(out[:1, :1]))  # compile + completion barrier
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run()
+            float(jnp.sum(out[:1, :1]))
+            best = min(best, time.perf_counter() - t0)
+        ms = best * 1e3 / n_steps
+
+        Nx, Ny, Nz = dims_b
+        results.append({
+            "scene": name,
+            "allocated_blocks": n,
+            "aabb_block_volume": Nx * Ny * Nz,
+            "occupied_frac": round(n / (Nx * Ny * Nz), 4),
+            "xpass_occupied_program_frac": round(_occupied_program_frac(
+                np.asarray(is_site), np.asarray(cells), n, dims_b, band), 4),
+            "esdf_ms": round(ms, 3),
+        })
+        print(results[-1])
+
+    # Scaling diagnosis: ms per occupied block across the room series, and
+    # the corridor's cost relative to what pure AABB-volume scaling would
+    # predict from room_2k.
+    rooms = {r["scene"]: r for r in results}
+    per_block_ns = {r["scene"]: 1e6 * r["esdf_ms"] / r["allocated_blocks"]
+                    for r in results}
+    vol_pred = (rooms["room_2k"]["esdf_ms"]
+                * rooms["two_rooms_gap"]["aabb_block_volume"]
+                / rooms["room_2k"]["aabb_block_volume"])
+    doc = {
+        "band_vox": band,
+        "scenes": results,
+        "ns_per_allocated_block": {k: round(v, 1)
+                                   for k, v in per_block_ns.items()},
+        "corridor_vs_aabb_volume_prediction": round(
+            rooms["two_rooms_gap"]["esdf_ms"] / vol_pred, 3),
+        "note": "corridor ratio < 1 means cost tracks occupied lines, "
+                "not AABB volume (per-program pruning active)",
+        "device": str(jax.devices()[0]),
+    }
+    out_path = Path(__file__).resolve().parent.parent / "ESDF_SCALING.json"
+    out_path.write_text(json.dumps(doc, indent=1))
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()
