@@ -128,7 +128,9 @@ def main():
     region = mapper.esdf_region()
     _barrier(mapper.replay_frames(depths_r, poses_r, camera, esdf_every=1,
                                   esdf_region=region))
-    _barrier(mapper.replay_frames(depths_r, poses_r, camera, mesh_every=1))
+    _barrier(mapper.replay_frames(depths_r, poses_r, camera, mesh_every=1,
+                                  mesh_max_blocks=1024,
+                                  mesh_surface_blocks=512))
     _barrier(mapper.replay_frames(depths_r, poses_r, camera,
                                   colors=colors_r, color_every=1))
     n_blocks = mapper.block_count()
@@ -144,7 +146,13 @@ def main():
     # --- component times via cadence differencing (per frame / update). ---
     tsdf_ms = timed()
     esdf_ms = max(timed(esdf_every=1, esdf_region=region) - tsdf_ms, 0.0)
-    mesh_ms = max(timed(mesh_every=1) - tsdf_ms, 0.0)
+    # Every-frame meshing: per-frame dirty+neighbors is ~970 blocks and
+    # the crossing subset <=512 (tools/ablate_mesh.py), so the 1024/512
+    # batch sizes cover every frame with zero pending backlog (verified:
+    # mesh_pending empty after replay) at ~40% less static-batch cost
+    # than the 2048-block default sized for mesh-every-8 cadence.
+    mesh_ms = max(timed(mesh_every=1, mesh_max_blocks=1024,
+                        mesh_surface_blocks=512) - tsdf_ms, 0.0)
     color_ms = max(timed(colors=colors_r, color_every=1) - tsdf_ms, 0.0)
 
     # Pipeline at the reference's operational cadence (nvblox_base.yaml:

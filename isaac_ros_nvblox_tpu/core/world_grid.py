@@ -318,6 +318,22 @@ def neighbor_slots_of(state: WorldGridState, block_indices):
     return jnp.where(in_bounds, slots, -1)
 
 
+def neighbor_slots8_of(state: WorldGridState, block_indices):
+    """Positive-octant neighbor slot rows `i32[N, 8]` (self + 7 {0,1}^3
+    directions, ops/mesh_pallas._DIRS order). Element gathers run at
+    ~115 M elem/s on TPU, so the mesh path gathers only the 8 columns it
+    consumes instead of the full 27-neighborhood table."""
+    offs = jnp.asarray([(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                        (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)],
+                       jnp.int32)
+    cells = block_indices[:, None, :] - state.origin_block + offs[None]
+    dims = jnp.asarray(state.slot_grid.shape, jnp.int32)
+    in_bounds = jnp.all((cells >= 0) & (cells < dims), axis=-1)
+    safe = jnp.clip(cells, 0, dims - 1)
+    slots = state.slot_grid[safe[..., 0], safe[..., 1], safe[..., 2]]
+    return jnp.where(in_bounds, slots, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_blocks",))
 def allocated_batch(state: WorldGridState, *, max_blocks: int):
     """All allocated slots as a static-size batch (slots beyond alloc_count

@@ -257,6 +257,11 @@ def update_mesh_layer(m, max_blocks: int = 2048) -> List[Tuple[int, int, int]]:
                 c = np.full_like(v, 190.0)
             m.mesh_layer.update_block(key, v, c)
             meshed.append(key)
+        # Blocks whose batch rows had no surface crossing: drop stale
+        # entries (the surface compaction stage no longer emits sentinel
+        # rows for them; see _mesh_dirty_fused).
+        for key in m.take_mesh_clear_keys():
+            m.mesh_layer.blocks.pop(key, None)
     else:
         # CPU backend: the XLA marching-cubes path (interpret-mode Pallas
         # is far too slow for tests/debugging).

@@ -525,26 +525,84 @@ def _esdf_dense_fused(state, layer_a, layer_b, old_sq, origin_b,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_weight", "max_blocks", "with_color",
-                                    "interpret"))
-def _mesh_dirty_fused(state, dirty, tsdf_distance, tsdf_weight, color_rows, *,
-                      min_weight: float, max_blocks: int, with_color: bool,
-                      interpret: bool):
-    """compact dirty -> neighbors -> fused Pallas MC (in-kernel halo).
+                                    "interpret", "max_surface_blocks"))
+def _mesh_dirty_fused(state, dirty, pending, tsdf_distance, tsdf_weight,
+                      color_rows, *, min_weight: float, max_blocks: int,
+                      with_color: bool, interpret: bool,
+                      max_surface_blocks: int = 0):
+    """compact dirty -> crossing subset -> fused Pallas MC (in-kernel halo).
 
-    Returns (verts_local bf16[N,3,16,512], colors bf16|None, bidx). Vertex
-    coordinates are block-local voxel units; empty slots carry -1 (see
-    ops/mesh_pallas.py)."""
-    from isaac_ros_nvblox_tpu.ops.mesh_pallas import (NEIGHBOR_COLS,
-                                                      marching_cubes_fused)
+    Two compaction stages: the dirty+neighbor batch (max_blocks) feeds only
+    the cheap surface-crossing test; the expensive part (color gathers, MC
+    kernel, bf16 [N,3,16,512] outputs — measured LINEAR in the static
+    batch size, tools/ablate_mesh.py) runs on a second sort-compacted
+    batch of just the crossing blocks (max_surface_blocks, default
+    max_blocks//4 — surface blocks are a 2D subset of the 3D dirty set).
+
+    Crossing rows beyond the surface budget land in `pending` (bool[cap]):
+    pending rows rejoin the next batch WITHOUT neighbor expansion (their
+    own data didn't change), so the backlog drains monotonically instead
+    of ping-ponging re-mesh work between adjacent rows. Dirty rows sort
+    before pending/neighbor rows in the selection, so changed blocks mesh
+    first.
+
+    Returns (verts_local bf16[Ns,3,16,512], colors bf16|None, surf_bidx,
+    surf_slots, clear_bidx i32[max_blocks,3], clear_rows bool[max_blocks],
+    new_dirty bool[cap], new_pending bool[cap]): `clear_*` lists batched
+    blocks with NO surface crossing — their (possibly stale) mesh-layer
+    entries must be dropped (the old single-stage path cleared them via
+    sentinel output rows). Vertex coordinates are block-local voxel units;
+    empty slots carry -1 (see ops/mesh_pallas.py)."""
+    from isaac_ros_nvblox_tpu.ops.mesh_pallas import (marching_cubes_fused,
+                                                      surface_crossing)
     cap = tsdf_distance.shape[0]
-    slots, bidx = _compact_dirty_impl(state, dirty, max_blocks=max_blocks)
-    nbrs = wg.neighbor_slots_of(state, bidx)
-    nbr8 = nbrs[:, jnp.asarray(NEIGHBOR_COLS)]
+    ms = max_surface_blocks or max(max_blocks // 4, 256)
+    ms = min(ms, max_blocks)
+    slots, bidx = _compact_dirty_impl(state, dirty, max_blocks=max_blocks,
+                                      extra=pending)
+    nbr8 = wg.neighbor_slots8_of(state, bidx)
+    in_batch = slots < cap
+    crossing = in_batch & surface_crossing(tsdf_distance, tsdf_weight, nbr8,
+                                           min_weight=min_weight)
+
+    # Second sort-based compaction: crossing rows -> surface batch, dirty
+    # rows first (changed blocks mesh before backlog/neighbor refreshes).
+    big = jnp.int32(2 ** 30)
+    rows = jnp.arange(max_blocks, dtype=jnp.int32)
+    safe_slots = jnp.clip(slots, 0, cap - 1)
+    row_dirty = jnp.where(in_batch, dirty[safe_slots], False)
+    prio = rows + jnp.where(row_dirty, 0, jnp.int32(max_blocks))
+    keys2 = jax.lax.sort(jnp.where(crossing, prio, big))[:ms]
+    rowsel = jnp.where(keys2 < big,
+                       jax.lax.rem(keys2, jnp.int32(max_blocks)), 0)
+    n_cross = jnp.sum(crossing.astype(jnp.int32))
+    lane2 = jnp.arange(ms) < jnp.minimum(n_cross, ms)
+    surf_slots = jnp.where(lane2, slots[rowsel], cap)
+    surf_bidx = jnp.where(lane2[:, None], bidx[rowsel], 0)
+    surf_nbr8 = jnp.where(lane2[:, None], nbr8[rowsel], -1)
+
     verts, colors = marching_cubes_fused(
-        tsdf_distance, tsdf_weight, color_rows, nbr8,
-        (slots < cap).astype(jnp.int32), min_weight=min_weight,
+        tsdf_distance, tsdf_weight, color_rows, surf_nbr8,
+        (surf_slots < cap).astype(jnp.int32), min_weight=min_weight,
         with_color=with_color, interpret=interpret)
-    return verts, colors, bidx, slots
+
+    # Bookkeeping: every batched slot's dirty bit clears (its mesh work is
+    # either done now or recorded in `pending`); unbatched dirty slots
+    # (first-stage overflow) keep their bit. Pending = old pending minus
+    # batched rows, plus crossing rows the surface budget skipped.
+    selected = jnp.zeros((max_blocks,), jnp.bool_).at[
+        jnp.where(lane2, rowsel, max_blocks)].set(True, mode="drop")
+    overflow = crossing & ~selected
+    batched_bits = jnp.zeros((cap,), jnp.bool_).at[
+        jnp.where(in_batch, slots, cap)].set(True, mode="drop")
+    overflow_bits = jnp.zeros((cap,), jnp.bool_).at[
+        jnp.where(overflow, slots, cap)].set(True, mode="drop")
+    new_dirty = dirty & ~batched_bits
+    new_pending = (pending & ~batched_bits) | overflow_bits
+
+    clear_rows = in_batch & ~crossing
+    return (verts, colors, surf_bidx, surf_slots, bidx, clear_rows,
+            new_dirty, new_pending)
 
 
 @functools.partial(jax.jit, static_argnames=("voxel_size_m",))
@@ -609,14 +667,16 @@ def _integrate_color_fused(color_r, color_g, color_b, color_weight, dirty,
     static_argnames=("camera", "voxel_size_m", "params", "max_blocks",
                      "use_pallas", "esdf_every", "mesh_every", "color_every",
                      "esdf_dims", "band", "esdf_site_cfg", "mesh_min_weight",
-                     "mesh_max_blocks", "interpret"),
-    donate_argnums=(0, 1, 2, 3))
-def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs, colors,
+                     "mesh_max_blocks", "mesh_surface_blocks",
+                     "interpret"),
+    donate_argnums=(0, 1, 2, 3, 4))
+def _replay_scan(state, channels, dirty, esdf_dirty, mesh_pending, depths,
+                 T_L_Cs, colors,
                  esdf_origin, *, camera: Camera, voxel_size_m: float, params,
                  max_blocks: int, use_pallas: bool, esdf_every: int,
                  mesh_every: int, color_every: int, esdf_dims, band: int,
                  esdf_site_cfg, mesh_min_weight: float, mesh_max_blocks: int,
-                 interpret: bool):
+                 mesh_surface_blocks: int, interpret: bool):
     """Whole replay pipeline in ONE compiled program (lax.scan over frames).
 
     Mirrors the reference Fuser's replay loop (fuser_node.cpp:202-315):
@@ -641,7 +701,7 @@ def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs, colors,
         return sq, is_inside, observed
 
     def step(carry, inp):
-        st, ch, dt, edt, digest = carry
+        st, ch, dt, edt, pend, digest = carry
         depth, T, k, color = inp
         st, d, w, dt, edt = _integrate_frame_fused(
             st, ch["tsdf_distance"], ch["tsdf_weight"], dt, edt, depth, T,
@@ -681,13 +741,15 @@ def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs, colors,
             with_color = "color_r" in channels
 
             def mesh_branch(args):
-                st, ch, dt = args
+                st, ch, dt, pend = args
                 color_rows = ((ch["color_r"], ch["color_g"], ch["color_b"])
                               if with_color else None)
-                verts, colors, _, _ = _mesh_dirty_fused(
-                    st, dt, ch["tsdf_distance"], ch["tsdf_weight"],
+                (verts, colors, _, _, _, _, dt_new,
+                 pend_new) = _mesh_dirty_fused(
+                    st, dt, pend, ch["tsdf_distance"], ch["tsdf_weight"],
                     color_rows, min_weight=mesh_min_weight,
                     max_blocks=mesh_max_blocks, with_color=with_color,
+                    max_surface_blocks=mesh_surface_blocks,
                     interpret=interpret)
                 mask = verts[:, 0] >= 0  # sentinel -1 marks empty slots
                 dg = jnp.sum(jnp.where(mask[:, None], verts, 0)
@@ -695,25 +757,29 @@ def _replay_scan(state, channels, dirty, esdf_dirty, depths, T_L_Cs, colors,
                 if with_color:
                     dg = dg + jnp.sum(colors[..., :1].astype(jnp.float32)
                                       ) * jnp.float32(1e-9)
-                return dg, jnp.zeros_like(dt)
+                return dg, dt_new, pend_new
 
-            dg, dt = jax.lax.cond(
+            dg, dt, pend = jax.lax.cond(
                 (k + 1) % mesh_every == 0,
                 mesh_branch,
-                lambda args: (jnp.float32(0.0), args[2]),
-                (st, ch, dt))
+                lambda args: (jnp.float32(0.0), args[2], args[3]),
+                (st, ch, dt, pend))
             digest = digest + dg
-        return (st, ch, dt, edt, digest), None
+        return (st, ch, dt, edt, pend, digest), None
 
     ks = jnp.arange(n, dtype=jnp.int32)
     carry, _ = jax.lax.scan(step, (state, channels, dirty, esdf_dirty,
-                                   jnp.float32(0.0)),
+                                   mesh_pending, jnp.float32(0.0)),
                             (depths, T_L_Cs, ks, colors))
     return carry
 
 
-def _compact_dirty_impl(state, dirty, *, max_blocks: int):
-    """Dirty slots (plus their -1-side neighbors) as a static-size batch."""
+def _compact_dirty_impl(state, dirty, *, max_blocks: int, extra=None):
+    """Dirty slots (plus their -1-side neighbors) as a static-size batch.
+
+    `extra` (bool[cap], optional): slots joined into the batch WITHOUT
+    neighbor expansion — the mesh path's pending-remesh rows (their own
+    data didn't change, so their neighbors need no refresh)."""
     cap = dirty.shape[0]
     # Expand dirtiness to -1-side neighbors via the slot grid: a block is
     # mesh-dirty if any of its {0,+1}^3 neighbors is dirty.
@@ -734,6 +800,9 @@ def _compact_dirty_impl(state, dirty, *, max_blocks: int):
                 expanded = expanded | shifted
     slot_dirty = expanded[cells[:, 0], cells[:, 1], cells[:, 2]] \
         & (jnp.arange(cap) < state.alloc_count)
+    if extra is not None:
+        slot_dirty = slot_dirty | (extra
+                                   & (jnp.arange(cap) < state.alloc_count))
     # Sort-based compaction (nonzero lowers to a serializing scatter).
     big = jnp.int32(2 ** 30)
     keys = jnp.where(slot_dirty, jnp.arange(cap, dtype=jnp.int32), big)
@@ -816,6 +885,8 @@ class DeviceMapper:
                 (cap, VOXELS_PER_BLOCK), jnp.bool_)
         self.dirty = jnp.zeros((cap,), jnp.bool_)       # mesh-dirty slots
         self.esdf_dirty = jnp.zeros((cap,), jnp.bool_)  # esdf-dirty slots
+        # Crossing blocks the mesh surface budget skipped (re-mesh backlog).
+        self.mesh_pending = jnp.zeros((cap,), jnp.bool_)
         # Ring log of freed block indices for removed_blocks publishing.
         self.removed_log = jnp.zeros((cap, 3), jnp.int32)
         self.removed_count = jnp.zeros((), jnp.int32)
@@ -1348,7 +1419,8 @@ class DeviceMapper:
     def replay_frames(self, depths, T_L_Cs, camera: Camera, *,
                       esdf_every: int = 0, mesh_every: int = 0,
                       colors=None, color_every: int = 0,
-                      esdf_region=None, mesh_max_blocks: int = 2048):
+                      esdf_region=None, mesh_max_blocks: int = 2048,
+                      mesh_surface_blocks: int = 0):
         """Replay N depth frames in ONE device program (lax.scan).
 
         The offline-replay / benchmarking path (parity: the reference
@@ -1380,8 +1452,9 @@ class DeviceMapper:
                             else esdf_region)
         else:
             origin, dims = np.zeros(3, np.int32), (8, 8, 8)
-        state, channels, dirty, edirty, digest = _replay_scan(
+        state, channels, dirty, edirty, mesh_pending, digest = _replay_scan(
             self.state, self.channels, self.dirty, self.esdf_dirty,
+            self.mesh_pending,
             depths, T_L_Cs, colors, jnp.asarray(origin, jnp.int32),
             camera=camera, voxel_size_m=self.voxel_size_m,
             params=self.params.projective,
@@ -1394,9 +1467,12 @@ class DeviceMapper:
             esdf_site_cfg=(float(ep.max_site_distance_vox),
                            float(ep.min_weight)),
             mesh_min_weight=float(self.params.mesh.min_weight),
-            mesh_max_blocks=int(mesh_max_blocks), interpret=interpret)
+            mesh_max_blocks=int(mesh_max_blocks),
+            mesh_surface_blocks=int(mesh_surface_blocks),
+            interpret=interpret)
         self.state, self.channels = state, channels
         self.dirty, self.esdf_dirty = dirty, edirty
+        self.mesh_pending = mesh_pending
         # Fold the replayed extent into the host-tracked region. Poses are
         # device arrays here, so use the solved region (or mark unknown).
         if run_esdf:
@@ -1456,13 +1532,20 @@ class DeviceMapper:
                            self.channels["color_g"],
                            self.channels["color_b"])
                           if with_color else None)
-            verts, colors, bidx, slots = _mesh_dirty_fused(
-                self.state, self.dirty, self.channels["tsdf_distance"],
+            (verts, colors, bidx, slots, clear_bidx, clear_rows,
+             new_dirty, new_pending) = _mesh_dirty_fused(
+                self.state, self.dirty, self.mesh_pending,
+                self.channels["tsdf_distance"],
                 self.channels["tsdf_weight"], color_rows,
                 min_weight=float(self.params.mesh.min_weight),
                 max_blocks=max_blocks, with_color=with_color,
                 interpret=jax.default_backend() != "tpu")
-            self.dirty = jnp.zeros_like(self.dirty)
+            self.dirty = new_dirty
+            self.mesh_pending = new_pending
+            # Batched blocks with no surface crossing: their stale mesh-
+            # layer entries must be dropped (device_io.update_mesh_layer
+            # consumes this at publish cadence via take_mesh_clear_keys).
+            self._mesh_clear_pending = (clear_bidx, clear_rows)
             mask = verts[:, 0] >= 0
             if return_slots:
                 return verts, colors, mask, bidx, slots
@@ -1474,6 +1557,20 @@ class DeviceMapper:
         if return_slots:
             return verts, colors, valid, bidx, slots
         return verts, colors, valid, bidx
+
+    def take_mesh_clear_keys(self) -> list:
+        """Consume the pending clear list from the last fused mesh update:
+        block keys whose batch rows had no surface crossing (their mesh-
+        layer entries are stale and must be dropped). One small transfer
+        (max_blocks x 3 i32 + bools) at publish cadence."""
+        pending = getattr(self, "_mesh_clear_pending", None)
+        if pending is None:
+            return []
+        self._mesh_clear_pending = None
+        bidx_np = np.asarray(pending[0])
+        rows_np = np.asarray(pending[1])
+        return [tuple(int(v) for v in bidx_np[i])
+                for i in np.nonzero(rows_np)[0]]
 
     def update_mesh_device(self, chunk: int = 2048):
         """Run marching cubes over all allocated blocks on device.
@@ -1493,6 +1590,7 @@ class DeviceMapper:
             verts, colors, valid = self._mesh_chunk(slots, bidx)
             results.append((verts, colors, valid, bidx))
         self.dirty = self.dirty.at[:].set(False)
+        self.mesh_pending = jnp.zeros_like(self.mesh_pending)
         return results
 
     def export_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -259,6 +259,31 @@ def _make_kernel(with_color: bool, min_weight: float):
     return kernel
 
 
+@functools.partial(jax.jit, static_argnames=("min_weight",))
+def surface_crossing(tsdf_rows, weight_rows, nbr8, *, min_weight: float):
+    """bool[N]: block's 8-row halo neighborhood holds both a negative and
+    a non-negative TSDF value among min_weight-observed voxels — the
+    necessary condition for marching cubes to emit any triangle. Used by
+    the mapper's second compaction stage (surface blocks are a 2D subset
+    of the 3D dirty set, so compacting to the crossing subset before the
+    kernel shrinks the static batch the kernel/gathers/outputs pay for).
+
+    Decomposed as per-SLOT sign summaries (one contiguous full-pool
+    reduce — streaming-bound, constant in batch size) OR'd over each
+    row's 8-neighborhood bits, instead of gathering (N, 8, 512) halo
+    rows (measured gather-bound at ~0.65 us/row, tools/ablate_mesh.py):
+    any(neighborhood has neg) == OR_nbr any(row has neg)."""
+    cap = tsdf_rows.shape[0]
+    w_ok = weight_rows >= jnp.float32(min_weight)
+    slot_neg = jnp.any(w_ok & (tsdf_rows < 0.0), axis=1)    # [cap]
+    slot_pos = jnp.any(w_ok & (tsdf_rows >= 0.0), axis=1)
+    safe = jnp.clip(nbr8, 0, cap - 1).astype(jnp.int32)
+    present = nbr8 >= 0
+    has_neg = jnp.any(jnp.where(present, slot_neg[safe], False), axis=1)
+    has_pos = jnp.any(jnp.where(present, slot_pos[safe], False), axis=1)
+    return has_neg & has_pos
+
+
 @functools.partial(jax.jit,
                    static_argnames=("min_weight", "with_color", "interpret"))
 def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,

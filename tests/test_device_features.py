@@ -355,3 +355,78 @@ def test_freespace_fullpool_matches_batch_path():
     for a, b in zip(outs["batch"], outs["dense"]):
         np.testing.assert_array_equal(a[:n], b[:n])
     assert outs["dense"][2][:n].sum() > 1000   # hc actually promoted
+
+
+def test_mesh_surface_budget_overflow_stays_dirty():
+    """Two-stage mesh compaction: crossing blocks beyond the surface budget
+    keep their dirty bit and drain over later calls — the union of meshed
+    surface blocks must equal the single-shot crossing set."""
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import _mesh_dirty_fused
+    m = _mapper()
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+
+    import jax.numpy as jnp2
+
+    def run(dirty, pending, ms):
+        return _mesh_dirty_fused(
+            m.state, dirty, pending, m.channels["tsdf_distance"],
+            m.channels["tsdf_weight"], None,
+            min_weight=float(m.params.mesh.min_weight), max_blocks=256,
+            with_color=False, interpret=True, max_surface_blocks=ms)
+
+    zeros = jnp2.zeros_like(m.dirty)
+    # Single shot with a huge budget: the full crossing set.
+    v, _, bidx_all, slots_all, _, _, leftover, pend = run(m.dirty, zeros,
+                                                          256)
+    full = {tuple(map(int, b)) for b, s in
+            zip(np.asarray(bidx_all), np.asarray(slots_all))
+            if s < m.capacity}
+    assert len(full) > 8
+    assert not bool(np.asarray(leftover).any())
+    assert not bool(np.asarray(pend).any())
+
+    # Tiny budget: the backlog drains over iterations through the pending
+    # channel; every iteration meshes <= ms blocks.
+    seen = set()
+    dirty, pending = m.dirty, zeros
+    for it in range(60):
+        v, _, bidx, slots, _, _, dirty, pending = run(dirty, pending, 8)
+        keys = {tuple(map(int, b)) for b, s in
+                zip(np.asarray(bidx), np.asarray(slots)) if s < m.capacity}
+        assert len(keys) <= 8
+        seen |= keys
+        if not (bool(np.asarray(dirty).any())
+                or bool(np.asarray(pending).any())):
+            break
+    assert not bool(np.asarray(dirty).any())
+    assert not bool(np.asarray(pending).any())  # backlog drained
+    # Every crossing block from the single-shot run was eventually meshed.
+    assert full <= seen
+
+
+def test_mesh_clear_list_drops_stale_blocks():
+    """A block that loses its surface crossing lands on the clear list and
+    update_mesh_layer drops its stale mesh-layer entry."""
+    from isaac_ros_nvblox_tpu.mapper import device_io
+    m = _mapper()
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    device_io.update_mesh_layer(m)  # CPU backend: XLA chunk path
+    # Force the fused path once to populate the pending-clear machinery:
+    m.dirty = m.dirty.at[:].set(False)
+    m.dirty = m.dirty.at[0].set(True)
+    verts, colors, mask, bidx, slots = m.update_mesh_dirty_device(
+        max_blocks=64, use_pallas=True, return_slots=True)
+    pending = m._mesh_clear_pending
+    assert pending is not None
+    # Wipe the map (all crossings gone), dirty everything that was meshed:
+    keys_before = set(m.mesh_layer.blocks)
+    assert keys_before
+    m.channels["tsdf_weight"] = jnp.zeros_like(m.channels["tsdf_weight"])
+    m.dirty = m.dirty.at[:].set(True)
+    verts, colors, mask, bidx, slots = m.update_mesh_dirty_device(
+        max_blocks=256, use_pallas=True, return_slots=True)
+    assert not bool(np.asarray(mask).any())  # nothing crosses now
+    cleared = set(m.take_mesh_clear_keys())
+    assert keys_before <= cleared

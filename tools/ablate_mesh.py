@@ -7,6 +7,8 @@ static batch itself (channel row gathers + bf16 output writes for padded
 / skipped programs), not the MC math — and a surface-crossing second
 compaction stage is the fix.
 """
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))  # noqa: E401,E702
+
 import time
 
 import numpy as np
@@ -78,20 +80,28 @@ def main():
 
     m_color = make(True)
     base = timed(m_color)
-    print(f"tsdf only: {base:.3f} ms")
-    for mb in (512, 1024, 2048):
+    print(f"tsdf only: {base:.3f} ms", flush=True)
+    for mb, ms in ((1024, 128), (1024, 256), (1024, 512), (2048, 256),
+                   (2048, 512), (2048, 1024)):
         _barrier(m_color.replay_frames(depths, poses, camera, mesh_every=1,
-                                       mesh_max_blocks=mb))
-        t = timed(m_color, mesh_every=1, mesh_max_blocks=mb)
-        print(f"mesh(color) mb={mb}: +{t - base:.3f} ms")
+                                       mesh_max_blocks=mb,
+                                       mesh_surface_blocks=ms))
+        t = timed(m_color, mesh_every=1, mesh_max_blocks=mb,
+                  mesh_surface_blocks=ms)
+        pend = int(np.asarray(m_color.mesh_pending.sum()))
+        print(f"mesh(color) mb={mb} ms={ms}: +{t - base:.3f} ms "
+              f"(pending after replay: {pend})", flush=True)
 
     m_plain = make(False)
     base_p = timed(m_plain)
-    for mb in (1024, 2048):
+    for mb, ms in ((1024, 256), (2048, 512)):
         _barrier(m_plain.replay_frames(depths, poses, camera, mesh_every=1,
-                                       mesh_max_blocks=mb))
-        t = timed(m_plain, mesh_every=1, mesh_max_blocks=mb)
-        print(f"mesh(no color) mb={mb}: +{t - base_p:.3f} ms")
+                                       mesh_max_blocks=mb,
+                                       mesh_surface_blocks=ms))
+        t = timed(m_plain, mesh_every=1, mesh_max_blocks=mb,
+                  mesh_surface_blocks=ms)
+        print(f"mesh(no color) mb={mb} ms={ms}: +{t - base_p:.3f} ms",
+              flush=True)
 
     # How many blocks are actually dirty / surface-crossing per frame?
     m = m_color

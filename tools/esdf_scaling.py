@@ -16,6 +16,8 @@ CLAUDE.md bench methodology).
 
 Writes ESDF_SCALING.json and prints it.
 """
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))  # noqa: E401,E702
+
 import json
 import time
 from pathlib import Path
