@@ -145,7 +145,15 @@ def main():
 
     # --- component times via cadence differencing (per frame / update). ---
     tsdf_ms = timed()
-    esdf_ms = max(timed(esdf_every=1, esdf_region=region) - tsdf_ms, 0.0)
+    # slot_bucket=4096: the full-pool-shaped ESDF stages (sites, seeding,
+    # splices) run on the pool prefix that can actually be allocated
+    # (~2.2k blocks; allocation is prefix-dense) instead of the 16384-row
+    # capacity; exactness asserted after timing (check_slot_bucket).
+    _barrier(mapper.replay_frames(depths_r, poses_r, camera, esdf_every=1,
+                                  esdf_region=region, slot_bucket=4096))
+    esdf_ms = max(timed(esdf_every=1, esdf_region=region, slot_bucket=4096)
+                  - tsdf_ms, 0.0)
+    mapper.check_slot_bucket()
     # Every-frame meshing: per-frame dirty+neighbors is ~970 blocks and
     # the crossing subset <=512 (tools/ablate_mesh.py), so the 1024/512
     # batch sizes cover every frame with zero pending backlog (verified:
@@ -179,18 +187,27 @@ def main():
         world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
                               origin_block=(-32, -32, -8)))
     dyn_t0 = [0.0]
+    dyn_region = [None]
 
     def dyn_pass():
         times = jnp.asarray(dyn_t0[0] + 25.0 * np.arange(n_steps),
                             jnp.float32)
         dyn_t0[0] += 25.0 * n_steps
-        mm.replay_frames_dynamic(depths_r, poses_r, times, camera)
+        mm.replay_frames_dynamic(depths_r, poses_r, times, camera,
+                                 region=dyn_region[0])
         # One readback only: each extra device->host scalar costs ~30 ms
         # through the relay (~0.5 ms/step at 64 steps) and would inflate
         # the differenced metric.
         return _barrier(mm.dynamic_mapper.channels["occupancy_log_odds"])
 
-    dyn_pass()   # warmup/compile
+    dyn_pass()   # warmup/compile (slow batch/halo freespace path)
+    # The freespace fast path (full-pool update over a fixed block region)
+    # needs the allocated region; the node tracks it host-side from
+    # frustum geometry, the bench reads it once after the warmup pass
+    # (one readback, outside the timed loop) — production parity.
+    mm.static_mapper._refresh_region_from_device()
+    dyn_region[0] = mm.static_mapper.esdf_region(margin_blocks=0)
+    dyn_pass()   # compile the fast-path variant
     t_dyn = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

@@ -668,7 +668,7 @@ def _integrate_color_fused(color_r, color_g, color_b, color_weight, dirty,
                      "use_pallas", "esdf_every", "mesh_every", "color_every",
                      "esdf_dims", "band", "esdf_site_cfg", "mesh_min_weight",
                      "mesh_max_blocks", "mesh_surface_blocks",
-                     "interpret"),
+                     "slot_bucket", "interpret"),
     donate_argnums=(0, 1, 2, 3, 4))
 def _replay_scan(state, channels, dirty, esdf_dirty, mesh_pending, depths,
                  T_L_Cs, colors,
@@ -676,7 +676,8 @@ def _replay_scan(state, channels, dirty, esdf_dirty, mesh_pending, depths,
                  max_blocks: int, use_pallas: bool, esdf_every: int,
                  mesh_every: int, color_every: int, esdf_dims, band: int,
                  esdf_site_cfg, mesh_min_weight: float, mesh_max_blocks: int,
-                 mesh_surface_blocks: int, interpret: bool):
+                 mesh_surface_blocks: int, slot_bucket: int,
+                 interpret: bool):
     """Whole replay pipeline in ONE compiled program (lax.scan over frames).
 
     Mirrors the reference Fuser's replay loop (fuser_node.cpp:202-315):
@@ -691,14 +692,29 @@ def _replay_scan(state, channels, dirty, esdf_dirty, mesh_pending, depths,
         st, ch = args
         from isaac_ros_nvblox_tpu.ops.esdf_dense import esdf_from_sites_dense
         msd, mw = esdf_site_cfg
+        # `slot_bucket` (static) restricts the full-pool-shaped stages
+        # (site extraction, seed/readback gathers, channel splices) to the
+        # pool PREFIX [:sb]: slot allocation is prefix-dense (free-stack
+        # recycling keeps the high-water mark at the historical peak), so
+        # a bucket >= the replay's final alloc_count is exact while
+        # cutting O(capacity) traffic to O(bucket). Callers must assert
+        # alloc_count <= slot_bucket after the replay (replay_frames
+        # does).
+        sb = slot_bucket if 0 < slot_bucket < ch["tsdf_distance"].shape[0] \
+            else ch["tsdf_distance"].shape[0]
         is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
-            ch["tsdf_distance"], ch["tsdf_weight"],
+            ch["tsdf_distance"][:sb], ch["tsdf_weight"][:sb],
             voxel_size_m=jnp.float32(voxel_size_m),
             max_site_distance_vox=msd, min_weight=mw)
         sq = esdf_from_sites_dense(
-            is_site, st.block_index_of_slot, st.alloc_count, esdf_origin,
+            is_site, st.block_index_of_slot[:sb],
+            jnp.minimum(st.alloc_count, sb), esdf_origin,
             dims_b=esdf_dims, band=band, interpret=interpret)
-        return sq, is_inside, observed
+        if sb == ch["tsdf_distance"].shape[0]:
+            return sq, is_inside, observed
+        return (ch["esdf_sq_dist"].at[:sb].set(sq),
+                ch["esdf_is_inside"].at[:sb].set(is_inside),
+                ch["esdf_observed"].at[:sb].set(observed))
 
     def step(carry, inp):
         st, ch, dt, edt, pend, digest = carry
@@ -1420,7 +1436,7 @@ class DeviceMapper:
                       esdf_every: int = 0, mesh_every: int = 0,
                       colors=None, color_every: int = 0,
                       esdf_region=None, mesh_max_blocks: int = 2048,
-                      mesh_surface_blocks: int = 0):
+                      mesh_surface_blocks: int = 0, slot_bucket: int = 0):
         """Replay N depth frames in ONE device program (lax.scan).
 
         The offline-replay / benchmarking path (parity: the reference
@@ -1469,10 +1485,17 @@ class DeviceMapper:
             mesh_min_weight=float(self.params.mesh.min_weight),
             mesh_max_blocks=int(mesh_max_blocks),
             mesh_surface_blocks=int(mesh_surface_blocks),
-            interpret=interpret)
+            slot_bucket=int(slot_bucket), interpret=interpret)
         self.state, self.channels = state, channels
         self.dirty, self.esdf_dirty = dirty, edirty
         self.mesh_pending = mesh_pending
+        if slot_bucket:
+            # Deferred exactness guard (a readback here would serialize
+            # into callers' timed regions): call check_slot_bucket() after
+            # timing to verify allocation never exceeded the bucket.
+            prev = getattr(self, "_slot_bucket_pending", 0)
+            self._slot_bucket_pending = (min(prev, slot_bucket) if prev
+                                         else slot_bucket)
         # Fold the replayed extent into the host-tracked region. Poses are
         # device arrays here, so use the solved region (or mark unknown).
         if run_esdf:
@@ -1557,6 +1580,20 @@ class DeviceMapper:
         if return_slots:
             return verts, colors, valid, bidx, slots
         return verts, colors, valid, bidx
+
+    def check_slot_bucket(self) -> None:
+        """Verify a slot_bucket-restricted replay stayed exact: the slot
+        high-water mark must not have exceeded the smallest bucket used
+        (one scalar readback; call after timing)."""
+        sb = getattr(self, "_slot_bucket_pending", 0)
+        if not sb:
+            return
+        hw = int(self.state.alloc_count)
+        if hw > sb:
+            raise AssertionError(
+                f"slot_bucket {sb} exceeded: alloc high-water {hw} — "
+                "ESDF results for slots beyond the bucket are stale")
+        self._slot_bucket_pending = 0
 
     def take_mesh_clear_keys(self) -> list:
         """Consume the pending clear list from the last fused mesh update:

@@ -430,3 +430,40 @@ def test_mesh_clear_list_drops_stale_blocks():
     assert not bool(np.asarray(mask).any())  # nothing crosses now
     cleared = set(m.take_mesh_clear_keys())
     assert keys_before <= cleared
+
+
+def test_replay_slot_bucket_esdf_exact():
+    """A slot_bucket-restricted replay yields bitwise-identical ESDF to the
+    unrestricted replay (allocation is prefix-dense, bucket > high-water)."""
+    scene = _scene()
+    depths, poses = [], []
+    for k in range(4):
+        d, T = _frame(scene, t=0.4 * k)
+        depths.append(jnp.asarray(d))
+        poses.append(jnp.asarray(T, jnp.float32))
+    depths = jnp.stack(depths)
+    poses = jnp.stack(poses)
+
+    def run(**kw):
+        m = _mapper()
+        m.replay_frames(depths, poses, CAM)  # build map (fixes region)
+        region = m.esdf_region()
+        m.replay_frames(depths, poses, CAM, esdf_every=1,
+                        esdf_region=region, **kw)
+        return m
+
+    m_full = run()
+    m_bucket = run(slot_bucket=1024)
+    m_bucket.check_slot_bucket()
+    np.testing.assert_array_equal(
+        np.asarray(m_full.channels["esdf_sq_dist"]),
+        np.asarray(m_bucket.channels["esdf_sq_dist"]))
+    np.testing.assert_array_equal(
+        np.asarray(m_full.channels["esdf_is_inside"]),
+        np.asarray(m_bucket.channels["esdf_is_inside"]))
+
+    # An undersized bucket is caught by the guard.
+    m_bad = run(slot_bucket=8)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        m_bad.check_slot_bucket()
