@@ -103,6 +103,43 @@ def _integrate_frame_fused(state, distance, weight, dirty, esdf_dirty, depth,
 
 @functools.partial(jax.jit,
                    static_argnames=("camera", "voxel_size_m", "params",
+                                    "max_blocks", "view_params"),
+                   donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+def _integrate_frame_tsdf_color_fused(state, distance, weight, color_r,
+                                      color_g, color_b, color_weight, dirty,
+                                      esdf_dirty, depth, color_image, T_L_C,
+                                      *, camera: Camera, voxel_size_m: float,
+                                      params, max_blocks: int,
+                                      view_params=None):
+    """TSDF + color in ONE view batch and ONE Pallas dispatch (color-
+    cadence frames of the replay scan). The color blocks come from the
+    depth frame's view batch — reference parity: nvblox's color
+    integrator raycasts the DEPTH frame for its block list
+    (nvblox_node.cpp:1260-1265). TPU (pallas) path only."""
+    from isaac_ros_nvblox_tpu.ops.tsdf_color_pallas import (
+        integrate_tsdf_color_pallas)
+    grid, origin = view_ops.touched_block_grid(
+        depth, T_L_C, camera=camera, voxel_size_m=voxel_size_m,
+        max_distance_m=params.max_integration_distance_m,
+        truncation_m=params.truncation_m(voxel_size_m), subsample=1)
+    if view_params is not None:
+        grid = view_ops.apply_workspace_bounds_to_grid(
+            grid, origin, voxel_size_m=voxel_size_m, params=view_params)
+    state, slots, bidx, _ = wg.allocate_and_batch(
+        state, grid, origin, max_blocks=max_blocks)
+    (distance, weight, color_r, color_g, color_b,
+     color_weight) = integrate_tsdf_color_pallas(
+        distance, weight, color_r, color_g, color_b, color_weight, slots,
+        bidx, depth, color_image, T_L_C, camera=camera,
+        voxel_size_m=voxel_size_m, params=params)
+    dirty = dirty.at[slots].set(True, mode="drop")
+    esdf_dirty = esdf_dirty.at[slots].set(True, mode="drop")
+    return (state, distance, weight, color_r, color_g, color_b,
+            color_weight, dirty, esdf_dirty)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("camera", "voxel_size_m", "params",
                                     "proj_max_distance_m", "truncation_m",
                                     "max_blocks", "mask_mode", "view_params",
                                     "use_pallas"),
@@ -719,12 +756,45 @@ def _replay_scan(state, channels, dirty, esdf_dirty, mesh_pending, depths,
     def step(carry, inp):
         st, ch, dt, edt, pend, digest = carry
         depth, T, k, color = inp
-        st, d, w, dt, edt = _integrate_frame_fused(
-            st, ch["tsdf_distance"], ch["tsdf_weight"], dt, edt, depth, T,
-            camera=camera, voxel_size_m=voxel_size_m, params=params,
-            max_blocks=max_blocks, use_pallas=use_pallas)
-        ch = dict(ch, tsdf_distance=d, tsdf_weight=w)
-        if color_every > 0 and "color_r" in channels:
+        fuse_color = (color_every > 0 and "color_r" in channels
+                      and use_pallas
+                      and colors.shape[1:3] == depths.shape[1:3])
+        if fuse_color:
+            # Color-cadence frames run TSDF + color in ONE view batch and
+            # ONE Pallas dispatch (ops/tsdf_color_pallas.py); other frames
+            # take the plain TSDF step. Both branches allocate identically.
+            def plain_branch(args):
+                st, ch, dt, edt, depth, T, color = args
+                st, d, w, dt, edt = _integrate_frame_fused(
+                    st, ch["tsdf_distance"], ch["tsdf_weight"], dt, edt,
+                    depth, T, camera=camera, voxel_size_m=voxel_size_m,
+                    params=params, max_blocks=max_blocks,
+                    use_pallas=use_pallas)
+                return (st, d, w, ch["color_r"], ch["color_g"],
+                        ch["color_b"], ch["color_weight"], dt, edt)
+
+            def fused_branch(args):
+                st, ch, dt, edt, depth, T, color = args
+                return _integrate_frame_tsdf_color_fused(
+                    st, ch["tsdf_distance"], ch["tsdf_weight"],
+                    ch["color_r"], ch["color_g"], ch["color_b"],
+                    ch["color_weight"], dt, edt, depth,
+                    color.astype(jnp.float32), T, camera=camera,
+                    voxel_size_m=voxel_size_m, params=params,
+                    max_blocks=max_blocks)
+
+            st, d, w, r, g, b, cw, dt, edt = jax.lax.cond(
+                (k + 1) % color_every == 0, fused_branch, plain_branch,
+                (st, ch, dt, edt, depth, T, color))
+            ch = dict(ch, tsdf_distance=d, tsdf_weight=w, color_r=r,
+                      color_g=g, color_b=b, color_weight=cw)
+        else:
+            st, d, w, dt, edt = _integrate_frame_fused(
+                st, ch["tsdf_distance"], ch["tsdf_weight"], dt, edt, depth,
+                T, camera=camera, voxel_size_m=voxel_size_m, params=params,
+                max_blocks=max_blocks, use_pallas=use_pallas)
+            ch = dict(ch, tsdf_distance=d, tsdf_weight=w)
+        if color_every > 0 and "color_r" in channels and not fuse_color:
             def color_branch(args):
                 st, ch, dt, color, depth, T = args
                 return _integrate_color_fused(

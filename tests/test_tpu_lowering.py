@@ -101,3 +101,17 @@ def test_detect_kernel_lowers_for_tpu(batch):
                                      camera=CAM, voxel_size_m=0.05,
                                      max_depth_m=5.0)
     _lower(f, hc)
+
+
+def test_tsdf_color_fused_kernel_lowers_for_tpu(batch):
+    from isaac_ros_nvblox_tpu.ops.tsdf_color_pallas import (
+        integrate_tsdf_color_pallas)
+    z, slots, bidx, T = batch
+    color = jnp.zeros((120, 160, 3), jnp.float32)
+    depth = jnp.full((120, 160), 2.0, jnp.float32)
+
+    def f(d, w, cr, cg, cb, cw):
+        return integrate_tsdf_color_pallas(
+            d, w, cr, cg, cb, cw, slots, bidx, depth, color, T, camera=CAM,
+            voxel_size_m=0.05, params=TsdfIntegratorParams())
+    _lower(f, z, z, z, z, z, z)
