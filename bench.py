@@ -303,7 +303,8 @@ def main():
     _barrier(big_mapper.replay_frames(big_depths_r, big_poses_r, camera))
     big_region = big_mapper.esdf_region()
     _barrier(big_mapper.replay_frames(big_depths_r, big_poses_r, camera,
-                                      esdf_every=1, esdf_region=big_region))
+                                      esdf_every=1, esdf_region=big_region,
+                                      slot_bucket=8192))
     n_blocks_big = big_mapper.block_count()
 
     def timed_big(reps=3, **kw):
@@ -316,8 +317,10 @@ def main():
         return best * 1e3 / n_steps
 
     tsdf_ms_big = timed_big()
-    esdf_ms_big = max(timed_big(esdf_every=1, esdf_region=big_region)
+    esdf_ms_big = max(timed_big(esdf_every=1, esdf_region=big_region,
+                                slot_bucket=8192)
                       - tsdf_ms_big, 0.0)
+    big_mapper.check_slot_bucket()
 
     # --- Accuracy vs the analytic scene (reconstruction parity check). ---
     from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks

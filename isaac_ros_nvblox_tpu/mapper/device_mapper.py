@@ -484,26 +484,6 @@ def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
 
 
 @jax.jit
-def _splice_2d(sq_old, in_old, ob_old, sq_r, in_r, ob_r, off, c_lo, c_hi):
-    """Splice the compute window C of a region-solved 2D field into the
-    stored full-frame field. `off` (i32[2], voxels) places the read window
-    R in the full frame; `c_lo`/`c_hi` (i32[2], voxels) bound C within R
-    (half-open). Only C is spliced — R's border ring may be inexact (sites
-    outside R within the band)."""
-    ix = jnp.arange(sq_r.shape[0])[:, None]
-    iy = jnp.arange(sq_r.shape[1])[None, :]
-    in_c = ((ix >= c_lo[0]) & (ix < c_hi[0])
-            & (iy >= c_lo[1]) & (iy < c_hi[1]))
-
-    def put(old, new):
-        cur = jax.lax.dynamic_slice(old, (off[0], off[1]), new.shape)
-        merged = jnp.where(in_c, new, cur)
-        return jax.lax.dynamic_update_slice(old, merged, (off[0], off[1]))
-
-    return put(sq_old, sq_r), put(in_old, in_r), put(ob_old, ob_r)
-
-
-@jax.jit
 def _esdf_stats(state, esdf_dirty):
     """Tiny per-update host sync: live count + allocated/dirty block AABBs."""
     bi = state.block_index_of_slot
@@ -657,6 +637,23 @@ def _voxel_z_band_mask(state, min_height_m, max_height_m, *,
 def _bucket_blocks(n: int, mult: int = 8) -> int:
     """Round a region extent (blocks) up to a bucket to bound recompiles."""
     return max(((n + mult - 1) // mult) * mult, mult)
+
+
+_COARSE_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _bucket_blocks_coarse(n: int) -> int:
+    """Coarse region-extent bucket for the ONLINE incremental paths.
+
+    Measured on the tunneled v5e: every first-seen dims tuple costs tens
+    of ms of compile/executable-load through the relay, and multiple-of-8
+    buckets gave enough shape variety that the node tick paid that cost
+    almost every call (node_tick ~55 ms, all in update_esdf_2d). A ~1.3x
+    geometric bucket ladder caps the variant count per axis at 10."""
+    for b in _COARSE_BUCKETS:
+        if n <= b:
+            return b
+    return _bucket_blocks(n, 64)
 
 
 @functools.partial(jax.jit,
@@ -1365,7 +1362,7 @@ class DeviceMapper:
             c_hi = np.maximum(np.minimum(d_hi + mb, a_hi), d_hi)
             r_lo = np.minimum(np.maximum(c_lo - mb, a_lo), c_lo)
             r_hi = np.maximum(np.minimum(c_hi + mb, a_hi), c_hi)
-        dims_b = tuple(_bucket_blocks(int(h - l + 1))
+        dims_b = tuple(_bucket_blocks_coarse(int(h - l + 1))
                        for l, h in zip(r_lo, r_hi))
         if self._is_occupancy:
             layer_a = self.channels["occupancy_log_odds"]
@@ -1399,12 +1396,15 @@ class DeviceMapper:
         params). Result stored as self.esdf_2d = (origin_xy_blocks, sq2d,
         inside2d, observed2d) for the 2D slicer.
 
-        Incremental like the 3D path: once a full solve exists for the
-        current grid frame (allocated-XY AABB + height band), later calls
-        re-solve only the dirty-block XY AABB + band margin and splice
-        (exact: a site only influences distances within `band`). A frame
-        change (AABB growth, band move — e.g. a new ground-plane estimate)
-        forces a full solve.
+        Incremental semantics: calls with no dirty blocks since the last
+        solve return immediately. When anything changed, the FULL frame
+        (allocated-XY AABB + height band) is re-solved at a coarse-
+        bucketed, therefore stable, shape: the 2-pass Nz=1 solve itself
+        is sub-ms on TPU, while the previous dirty-WINDOW variant
+        changed its bucket dims nearly every call and paid tens of ms of
+        compile/executable-load through the relay per first-seen shape
+        (measured: node_tick 5.6 -> 55 ms; tools/profile_node_tick.py).
+        Fixed shapes beat smaller solves on this hardware.
         """
         from isaac_ros_nvblox_tpu.ops.esdf_dense import (collapse_2d_mask,
                                                          esdf_2d_from_sites)
@@ -1414,10 +1414,9 @@ class DeviceMapper:
             return
         ep = self.params.esdf
         band = self.esdf_band_vox
-        mb = (band + 7) // 8
         a_lo, a_hi = self._aabb_lo, self._aabb_hi
-        dims_full = (_bucket_blocks(int(a_hi[0] - a_lo[0] + 1)),
-                     _bucket_blocks(int(a_hi[1] - a_lo[1] + 1)))
+        dims_full = (_bucket_blocks_coarse(int(a_hi[0] - a_lo[0] + 1)),
+                     _bucket_blocks_coarse(int(a_hi[1] - a_lo[1] + 1)))
         frame = (int(a_lo[0]), int(a_lo[1]), dims_full,
                  float(min_height_m), float(max_height_m))
         if full is None:
@@ -1441,22 +1440,8 @@ class DeviceMapper:
             jnp.float32(max_height_m), voxel_size_m=self.voxel_size_m)
         interp = jax.default_backend() != "tpu"
 
-        if full:
-            r_lo = np.asarray([a_lo[0], a_lo[1]], np.int64)
-            dims_b = dims_full
-        else:
-            d_lo, d_hi = self._dirty2d_lo[:2], self._dirty2d_hi[:2]
-            al2, ah2 = np.asarray(a_lo[:2]), np.asarray(a_hi[:2])
-            c_lo = np.minimum(np.maximum(d_lo - mb, al2), d_lo)
-            c_hi = np.maximum(np.minimum(d_hi + mb, ah2), d_hi)
-            r_lo = np.minimum(np.maximum(c_lo - mb, al2), c_lo)
-            r_hi = np.maximum(np.minimum(c_hi + mb, ah2), c_hi)
-            dims_b = tuple(_bucket_blocks(int(h - l + 1))
-                           for l, h in zip(r_lo, r_hi))
-            # Keep the (bucket-padded) read window inside the stored grid
-            # so the splice offsets stay in range.
-            r_lo = np.minimum(r_lo, al2 + np.asarray(dims_full)
-                              - np.asarray(dims_b))
+        r_lo = np.asarray([a_lo[0], a_lo[1]], np.int64)
+        dims_b = dims_full
 
         origin = jnp.asarray([r_lo[0], r_lo[1], 0], jnp.int32)
         sq2d = esdf_2d_from_sites(
@@ -1469,18 +1454,8 @@ class DeviceMapper:
         observed2d = collapse_2d_mask(
             observed, z_ok, self.state.block_index_of_slot,
             self.state.alloc_count, origin, dims_b=dims_b)
-        if full:
-            self.esdf_2d = ((int(a_lo[0]), int(a_lo[1])), sq2d, inside2d,
-                            observed2d)
-        else:
-            _, sq_old, in_old, ob_old = self.esdf_2d
-            off = jnp.asarray((r_lo - np.asarray(a_lo[:2])) * B, jnp.int32)
-            cl = jnp.asarray((c_lo - r_lo) * B, jnp.int32)
-            ch = jnp.asarray((c_hi + 1 - r_lo) * B, jnp.int32)
-            sq_new, in_new, ob_new = _splice_2d(
-                sq_old, in_old, ob_old, sq2d, inside2d, observed2d,
-                off, cl, ch)
-            self.esdf_2d = (self.esdf_2d[0], sq_new, in_new, ob_new)
+        self.esdf_2d = ((int(a_lo[0]), int(a_lo[1])), sq2d, inside2d,
+                        observed2d)
         self.esdf_2d_frame_heights = (float(min_height_m),
                                       float(max_height_m))
         self._esdf2d_frame = frame
