@@ -1462,18 +1462,23 @@ class DeviceMapper:
         self._dirty2d_lo = self._dirty2d_hi = None
 
     # --------------------------------------------------------------- replay
-    def esdf_region(self, margin_blocks: int = 2):
+    def esdf_region(self, margin_blocks: int = 2, mult: int = 4):
         """(origin, dims) covering the current allocated AABB + margin.
 
         Prefers the host-tracked AABB; falls back to one device sync when
-        poses arrived as device arrays (cold path)."""
+        poses arrived as device arrays (cold path). `mult` buckets the
+        dims: replay regions are fixed for a whole run, so a fine mult-4
+        bucket costs no recompile churn while a mult-8 bucket inflated
+        the bench solve volume ~2.5x (the EDT passes scale with padded
+        region volume; tools/ablate_esdf.py)."""
         if self._region_unknown or self._aabb_lo is None:
             self._refresh_region_from_device()
         if self._aabb_lo is None:
             return np.zeros(3, np.int64), (8, 8, 8)
         a_lo, a_hi = self._aabb_lo, self._aabb_hi
         origin = a_lo - margin_blocks
-        dims = tuple(_bucket_blocks(int(h - l + 1 + 2 * margin_blocks))
+        dims = tuple(_bucket_blocks(int(h - l + 1 + 2 * margin_blocks),
+                                    mult)
                      for l, h in zip(a_lo, a_hi))
         return origin, dims
 

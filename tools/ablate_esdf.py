@@ -145,9 +145,64 @@ def main():
                 jnp.zeros(d_ch.shape, jnp.bool_))
         return jax.lax.scan(step, init, (depths, ks))[0][0]
 
+    def solve_only_bucket(depths, sb=4096):
+        is_site0, _, _ = esdf_ops.esdf_sites_from_tsdf(
+            d_ch[:sb], w_ch[:sb], voxel_size_m=jnp.float32(0.05),
+            max_site_distance_vox=float(ep.max_site_distance_vox),
+            min_weight=float(ep.min_weight))
+        alloc_c = jnp.minimum(state.alloc_count, sb)
+
+        def step(c, inp):
+            d, k = inp
+            site_k = is_site0 & ((jnp.arange(sb) % 8)[:, None] != (k % 8))
+            sq = esdf_from_sites_dense(site_k,
+                                       state.block_index_of_slot[:sb],
+                                       alloc_c, origin_j,
+                                       dims_b=dims_t, band=band)
+            return jnp.minimum(c, sq), ()
+        ks = jnp.arange(n_steps, dtype=jnp.int32)
+        init = jnp.full((sb, 512), np.float32(1e12))
+        return jax.lax.scan(step, init, (depths, ks))[0]
+
+    def passes_only(depths, sb=4096):
+        """The 3 EDT passes alone: pre-seeded x-rows varied per step."""
+        from isaac_ros_nvblox_tpu.ops.esdf_dense import (
+            _line_dims, _repad, edt_pass_blockmajor, line_rows)
+        is_site0, _, _ = esdf_ops.esdf_sites_from_tsdf(
+            d_ch[:sb], w_ch[:sb], voxel_size_m=jnp.float32(0.05),
+            max_site_distance_vox=float(ep.max_site_distance_vox),
+            min_weight=float(ep.min_weight))
+        n_lines_x, Sx = _line_dims(dims_t, 0)
+        R = n_lines_x * line_rows(Sx, band)
+        rows0 = jnp.full((R, 512), np.float32(1e12))
+        rows0 = rows0.at[: min(sb, R)].set(
+            jnp.where(is_site0[: min(sb, R)], 0.0, 1e12))
+
+        def step(c, k):
+            rows = jnp.where((jnp.arange(R) % 8)[:, None] == (k % 8),
+                             1e12, rows0)
+            out_x = edt_pass_blockmajor(rows, n_lines=n_lines_x, Sb=Sx,
+                                        band=band, axis=0,
+                                        binary_input=True)
+            rows_y = _repad(out_x, dims_t, 0, 1, band)
+            n_lines_y, Sy = _line_dims(dims_t, 1)
+            out_y = edt_pass_blockmajor(rows_y, n_lines=n_lines_y, Sb=Sy,
+                                        band=band, axis=1)
+            rows_z = _repad(out_y, dims_t, 1, 2, band)
+            n_lines_z, Sz = _line_dims(dims_t, 2)
+            out_z = edt_pass_blockmajor(rows_z, n_lines=n_lines_z, Sb=Sz,
+                                        band=band, axis=2)
+            return jnp.minimum(c, out_z), ()
+        n_lines_z, Sz = _line_dims(dims_t, 2)
+        init = jnp.full((n_lines_z * Sz, 512), np.float32(1e12))
+        ks = jnp.arange(n_steps, dtype=jnp.int32)
+        return jax.lax.scan(step, init, ks)[0]
+
     timed("empty", empty)
     timed("sites only", sites_only)
     timed("solve only", solve_only)
+    timed("solve only (bucket 4096)", solve_only_bucket)
+    timed("passes only (bucket 4096)", passes_only)
     timed("sites+solve (esdf_branch)", full_branch)
 
 
