@@ -104,11 +104,13 @@ def main():
     n_steps = 64
 
     scenes = {
-        # Replica-office scale and up: shells of increasing block count.
-        "room_2k": _room_shell((16, 12, 8), cap),
-        "room_6k": _room_shell((28, 22, 10), cap),
-        "room_12k": _room_shell((40, 32, 12), cap),
-        # AABB ~4.3x occupied volume: the corridor pathology.
+        # Replica-office scale and up: shells of increasing block count
+        # (suffix = allocated shell blocks).
+        "room_0.7k": _room_shell((16, 12, 8), cap),
+        "room_2k": _room_shell((28, 22, 10), cap),
+        "room_4k": _room_shell((40, 32, 12), cap),
+        "room_7k": _room_shell((56, 40, 14), cap),
+        # AABB ~4.4x occupied volume: the corridor pathology.
         "two_rooms_gap": _two_rooms((16, 12, 8), 32, cap),
     }
 
@@ -158,13 +160,13 @@ def main():
 
     # Scaling diagnosis: ms per occupied block across the room series, and
     # the corridor's cost relative to what pure AABB-volume scaling would
-    # predict from room_2k.
+    # predict from room_0.7k (same shell family as the corridor's rooms).
     rooms = {r["scene"]: r for r in results}
     per_block_ns = {r["scene"]: 1e6 * r["esdf_ms"] / r["allocated_blocks"]
                     for r in results}
-    vol_pred = (rooms["room_2k"]["esdf_ms"]
+    vol_pred = (rooms["room_0.7k"]["esdf_ms"]
                 * rooms["two_rooms_gap"]["aabb_block_volume"]
-                / rooms["room_2k"]["aabb_block_volume"])
+                / rooms["room_0.7k"]["aabb_block_volume"])
     doc = {
         "band_vox": band,
         "scenes": results,
