@@ -259,9 +259,15 @@ def update_mesh_layer(m, max_blocks: int = 2048) -> List[Tuple[int, int, int]]:
             meshed.append(key)
         # Blocks whose batch rows had no surface crossing: drop stale
         # entries (the surface compaction stage no longer emits sentinel
-        # rows for them; see _mesh_dirty_fused).
-        for key in m.take_mesh_clear_keys():
+        # rows for them; see _mesh_dirty_fused). They still carry fresh
+        # voxel data (free-space carving, decay), so they join the
+        # re-serialized list below for the voxel-layer publishers; the
+        # mesh streamer filters them out via `& current`.
+        cleared = m.take_mesh_clear_keys()
+        for key in cleared:
             m.mesh_layer.blocks.pop(key, None)
+        meshed_set = set(meshed)
+        meshed.extend(k for k in cleared if k not in meshed_set)
     else:
         # CPU backend: the XLA marching-cubes path (interpret-mode Pallas
         # is far too slow for tests/debugging).

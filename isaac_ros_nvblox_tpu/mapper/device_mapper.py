@@ -1544,6 +1544,16 @@ class DeviceMapper:
             # into callers' timed regions): call check_slot_bucket() after
             # timing to verify allocation never exceeded the bucket.
             prev = getattr(self, "_slot_bucket_pending", 0)
+            if prev and prev != slot_bucket:
+                # A previous bucketed replay was never validated and this
+                # one uses a different bucket — the caller likely forgot
+                # check_slot_bucket(); results may be silently stale.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "replay_frames: unvalidated slot_bucket %d pending while"
+                    " starting a replay with slot_bucket %d — call"
+                    " check_slot_bucket() after each timed bucketed replay",
+                    prev, slot_bucket)
             self._slot_bucket_pending = (min(prev, slot_bucket) if prev
                                          else slot_bucket)
         # Fold the replayed extent into the host-tracked region. Poses are
@@ -1618,15 +1628,26 @@ class DeviceMapper:
             # Batched blocks with no surface crossing: their stale mesh-
             # layer entries must be dropped (device_io.update_mesh_layer
             # consumes this at publish cadence via take_mesh_clear_keys).
-            self._mesh_clear_pending = (clear_bidx, clear_rows)
+            # Accumulate (not overwrite): two fused updates can run before
+            # one publish drains the list.
+            prev_clear = getattr(self, "_mesh_clear_pending", None) or []
+            self._mesh_clear_pending = prev_clear + [(clear_bidx, clear_rows)]
             mask = verts[:, 0] >= 0
             if return_slots:
                 return verts, colors, mask, bidx, slots
             return verts, colors, mask, bidx
+        # CPU/XLA branch: include the pending-remesh backlog (blocks a
+        # capped fused scan deferred) so a CPU-backend publish after a
+        # replay drains it like the pallas path does; clear only the
+        # pending bits that made it into this batch.
         slots, bidx = _compact_dirty(self.state, self.dirty,
-                                     max_blocks=max_blocks)
+                                     max_blocks=max_blocks,
+                                     extra=self.mesh_pending)
         verts, colors, valid = self._mesh_chunk(slots, bidx)
         self.dirty = jnp.zeros_like(self.dirty)
+        in_batch = jnp.zeros_like(self.mesh_pending).at[slots].set(
+            True, mode="drop")
+        self.mesh_pending = self.mesh_pending & ~in_batch
         if return_slots:
             return verts, colors, valid, bidx, slots
         return verts, colors, valid, bidx
@@ -1651,13 +1672,16 @@ class DeviceMapper:
         layer entries are stale and must be dropped). One small transfer
         (max_blocks x 3 i32 + bools) at publish cadence."""
         pending = getattr(self, "_mesh_clear_pending", None)
-        if pending is None:
+        if not pending:
             return []
         self._mesh_clear_pending = None
-        bidx_np = np.asarray(pending[0])
-        rows_np = np.asarray(pending[1])
-        return [tuple(int(v) for v in bidx_np[i])
-                for i in np.nonzero(rows_np)[0]]
+        keys = []
+        for bidx, rows in pending:
+            bidx_np = np.asarray(bidx)
+            rows_np = np.asarray(rows)
+            keys.extend(tuple(int(v) for v in bidx_np[i])
+                        for i in np.nonzero(rows_np)[0])
+        return keys
 
     def update_mesh_device(self, chunk: int = 2048):
         """Run marching cubes over all allocated blocks on device.
