@@ -84,18 +84,25 @@ _NL = 8   # lines per program (amortizes per-program overhead ~8x)
 _EP = 8   # INF edge-pad rows around the stacked block in scratch
 
 
-def _pass_kernel(flag_ref, in_ref, out_ref, c_ref, *, Sb: int, Hb: int,
-                 band: int, m: int, NL: int):
+def _pass_kernel(pflag_ref, cflag_ref, in_ref, out_ref, c_ref, *, Sb: int,
+                 Hb: int, band: int, m: int, NL: int):
     """NL stacked lines: banded 1-D min-plus along the scan axis.
 
-    flag_ref: i32[n_grid] scalar-prefetch per-program occupancy flags —
+    pflag_ref: i32[n_grid] scalar-prefetch per-program occupancy flags —
              0 means every input row of this program is INF (no site
-             reaches any of its lines), so the whole candidate loop is
-             skipped and the output filled INF (bit-exact: all-INF input
-             yields min(INF, INF + k^2) = INF). This makes pass cost
-             track *occupied* lines rather than region-AABB volume — the
-             corridor pathology (long mostly-empty AABB) prunes to the
-             lines that actually hold sites.
+             reaches any of its lines), so the whole program is skipped
+             and the output filled INF (bit-exact: all-INF input yields
+             min(INF, INF + k^2) = INF).
+    cflag_ref: i32[n_grid * (L//8)] per-8-row-CHUNK occupancy flags: chunk
+             c is 0 iff every input row in [8c - band//8, 8c + 8 + band//8)
+             is INF — i.e. no candidate any of its output rows reads is
+             finite. Inactive chunks skip the candidate loop and write INF.
+             Cost therefore tracks occupied 8-block spans of each line, not
+             region-AABB volume: hollow-room interiors, corridor slack and
+             the line-end halo/round-up padding all prune away. (The
+             candidate loop also only ever computes rows that are actually
+             emitted — the old whole-block loop computed halo rows and
+             discarded them, ~35% waste at bench dims.)
     in_ref:  f32[NL * Sp, 512] NL independent lines, each Sp =
              line_rows(Sb, band) rows with halo/pad rows = INF.
     out_ref: f32[NL * Sb, 512] results for each line's center blocks.
@@ -103,26 +110,28 @@ def _pass_kernel(flag_ref, in_ref, out_ref, c_ref, *, Sb: int, Hb: int,
              (edge-padded with INF), slots 0..6 the carry-combined shift
              buffers.
 
-    The candidate loop runs over the WHOLE stacked block in one op per
-    candidate: a real output row only ever reads rows within its own
-    line's halo (|a| <= band//8 < Hb), so cross-line contamination can
-    only land in halo rows, which the caller discards. The INF edge pad
-    keeps the shifted slices in-bounds at the block boundary.
+    Exactness of the chunk skip: an output row r only reads candidate rows
+    [r - band//8, r + band//8]; the chunk window covers that range for all
+    its rows, so an inactive chunk's candidates are all INF and its exact
+    result is INF. Cross-line flag contamination (a window reaching into a
+    neighbor line's rows) can only create false-ACTIVE chunks — wasted
+    work, never wrong results (the >= Hb-row INF gap between lines still
+    isolates the candidate reads themselves).
     """
     i = pl.program_id(0)
 
-    @pl.when(flag_ref[i] == 0)
+    @pl.when(pflag_ref[i] == 0)
     def _():
         out_ref[:] = jnp.full(out_ref.shape, INF)
 
-    @pl.when(flag_ref[i] > 0)
+    @pl.when(pflag_ref[i] > 0)
     def _():
-        _pass_body(in_ref, out_ref, c_ref, Sb=Sb, Hb=Hb, band=band, m=m,
-                   NL=NL)
+        _pass_body(cflag_ref, in_ref, out_ref, c_ref, i, Sb=Sb, Hb=Hb,
+                   band=band, m=m, NL=NL)
 
 
-def _pass_body(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
-               m: int, NL: int):
+def _pass_body(cflag_ref, in_ref, out_ref, c_ref, i, *, Sb: int, Hb: int,
+               band: int, m: int, NL: int):
     L = in_ref.shape[0]
     x = in_ref[:]
 
@@ -149,23 +158,40 @@ def _pass_body(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
             mask, r_b[: L - 1], r_pb[1:L])
         c_ref[b - 1, _EP + L - 1:_EP + L] = inf_pad[:1]
 
-    def cand(k):
+    def cand(k, r0, h):
         b = k % 8                      # python mod: in [0, 8)
         a = (k - b) // 8               # floor
         s = 7 if b == 0 else b - 1
-        return c_ref[s, _EP + a:_EP + a + L]
-
-    # Symmetric pairing: +k and -k share the weight k^2, so min them before
-    # the add — 3 VPU ops per pair instead of 4.
-    acc = x + np.float32(0.0)
-    for k in range(1, band + 1):
-        pair = jnp.minimum(cand(k), cand(-k))
-        acc = jnp.minimum(acc, pair + np.float32(k * k))
+        return c_ref[s, _EP + a + r0:_EP + a + r0 + h]
 
     Sp = L // NL
-    for ll in range(NL):
-        out_ref[ll * Sb:(ll + 1) * Sb] = \
-            acc[ll * Sp + Hb:ll * Sp + Hb + Sb]
+    CPL = Sp // 8                      # chunks per line (Sp % 8 == 0)
+    n_chunks = L // 8
+    for c in range(n_chunks):
+        ll, cl = c // CPL, c % CPL
+        # Rows of this chunk that are real line output (line-local input
+        # rows [Hb, Hb + Sb)); pad-only chunks drop at compile time.
+        lo = max(8 * cl, Hb)
+        hi = min(8 * cl + 8, Hb + Sb)
+        if lo >= hi:
+            continue
+        r0 = ll * Sp + lo              # first computed input row
+        h = hi - lo                    # rows computed (1..8)
+        o0 = ll * Sb + (lo - Hb)       # first output row
+
+        @pl.when(cflag_ref[i * n_chunks + c] > 0)
+        def _(r0=r0, h=h, o0=o0):
+            # Symmetric pairing: +k and -k share the weight k^2, so min
+            # them before the add — 3 VPU ops per pair instead of 4.
+            acc = c_ref[7, _EP + r0:_EP + r0 + h] + np.float32(0.0)
+            for k in range(1, band + 1):
+                pair = jnp.minimum(cand(k, r0, h), cand(-k, r0, h))
+                acc = jnp.minimum(acc, pair + np.float32(k * k))
+            out_ref[o0:o0 + h] = acc
+
+        @pl.when(cflag_ref[i * n_chunks + c] == 0)
+        def _(o0=o0, h=h):
+            out_ref[o0:o0 + h] = jnp.full((h, V), INF)
 
 
 def _binary_steps(band: int):
@@ -274,27 +300,38 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
         rows = jnp.concatenate(
             [rows, jnp.full(((n_pad - n_lines) * Sp, V), INF, rows.dtype)])
     use_binary = binary_input and (_binary_steps(band)[-1] // 8 + 1) <= _EP
-    if use_binary:
-        kern = functools.partial(_pass1_kernel, Sb=Sb, Hb=Hb, band=band,
-                                 m=m, NL=NL)
-        scratch = [pltpu.VMEM((1, NL * Sp + 2 * _EP, V), jnp.float32)]
-    else:
-        kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
-                                 NL=NL)
-        scratch = [pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)]
-    # Per-program occupancy flags (scalar prefetch): a program whose whole
-    # input block is INF skips the candidate loop and writes INF — cost
-    # tracks occupied lines, not AABB volume. The any() reduction is one
-    # bandwidth-bound read; the skipped candidate loop is ~2*band VPU ops
-    # per row.
-    flags = jnp.any(rows.reshape(n_grid, NL * Sp * V) < INF,
+
+    # Per-row occupancy (one bandwidth-bound reduction) feeds both flag
+    # granularities: per-program (skip whole 8-line blocks) and, for the
+    # banded kernel, per-8-row-chunk (skip empty spans inside occupied
+    # lines — hollow-room interiors, halo padding). See _pass_kernel on
+    # why false-active flags are harmless and false-inactive impossible.
+    row_fin = jnp.any(rows < INF, axis=1)
+    flags = jnp.any(row_fin.reshape(n_grid, NL * Sp),
                     axis=1).astype(jnp.int32)
 
     def _blk(i, *_prefetch):
         return (i, 0)
 
+    if use_binary:
+        kern = functools.partial(_pass1_kernel, Sb=Sb, Hb=Hb, band=band,
+                                 m=m, NL=NL)
+        scratch = [pltpu.VMEM((1, NL * Sp + 2 * _EP, V), jnp.float32)]
+        prefetch = (flags,)
+    else:
+        kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
+                                 NL=NL)
+        scratch = [pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)]
+        A = band // 8
+        ext = jnp.concatenate([jnp.zeros((A,), jnp.int32),
+                               row_fin.astype(jnp.int32),
+                               jnp.zeros((A,), jnp.int32)])
+        cflags = jax.lax.reduce_window(ext, jnp.int32(0), jax.lax.max,
+                                       (8 + 2 * A,), (8,), "VALID")
+        prefetch = (flags, cflags)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(prefetch),
         grid=(n_grid,),
         in_specs=[pl.BlockSpec((NL * Sp, V), _blk,
                                memory_space=pltpu.VMEM)],
@@ -307,7 +344,7 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad * Sb, V), rows.dtype),
         interpret=interpret,
-    )(flags, rows)
+    )(*prefetch, rows)
     return out[:n_lines * Sb]
 
 

@@ -63,7 +63,10 @@ UW = 32            # footprint window width after the dynamic roll
 OHU_ROWS = 128     # one-hot scratch rows (matmul contraction dim)
 N_LEVELS = 5       # decimation levels 0..4 (footprints up to ~512 px)
 V = 512
-NB = 8             # voxel blocks per program (sublane-dim batching)
+NB = 16            # voxel blocks per program (sublane-dim batching; 16
+                   # halves the per-program fixed cost vs 8 — the fusion
+                   # math runs on (16, 512) = two vregs, and the ~0.5-1 us
+                   # per-program overhead amortizes over twice the blocks)
 
 
 def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,

@@ -86,6 +86,7 @@ class ShardedMapperConfig:
     mesh_max_blocks: int = 512
     enable_color: bool = False
     enable_occupancy: bool = False
+    enable_freespace: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -159,6 +160,14 @@ class ShardedDeviceMapper:
                 jnp.zeros((c.n_shards, cap, V), jnp.float32), sh)
             self.channels["occupancy_observed"] = jax.device_put(
                 jnp.zeros((c.n_shards, cap, V), jnp.bool_), sh)
+        if c.enable_freespace:
+            self.channels["freespace_consecutive_ms"] = jax.device_put(
+                jnp.zeros((c.n_shards, cap, V), jnp.float32), sh)
+            self.channels["freespace_last_occupied_ms"] = jax.device_put(
+                jnp.full((c.n_shards, cap, V), -1e9, jnp.float32), sh)
+            self.channels["freespace_high_confidence"] = jax.device_put(
+                jnp.zeros((c.n_shards, cap, V), jnp.bool_), sh)
+            self._freespace_last_update_ms = 0.0
         self.dirty = jax.device_put(
             jnp.zeros((c.n_shards, cap), jnp.bool_), sh)
         self.esdf_dirty = jax.device_put(
@@ -172,6 +181,12 @@ class ShardedDeviceMapper:
         self._esdf = self._build_esdf()
         self._mesh = self._build_mesh()
         self._decay = self._build_decay()
+        self._freespace = (self._build_freespace()
+                           if c.enable_freespace else None)
+        self._detect = (self._build_detect()
+                        if c.enable_freespace else None)
+        self._slice2d = self._build_slice2d()
+        self._lidar_fns: Dict[object, object] = {}
 
     # ------------------------------------------------------------- topology
     def _perms(self, axis: str):
@@ -515,19 +530,24 @@ class ShardedDeviceMapper:
         perms_y = self._perms("y")
         interp = jax.default_backend() != "tpu"
 
-        def dense_sites(state, g0):
-            """Owned-tile dense site rows f32[Lx, Ly, Dz, 512]."""
+        def dense_site_mask(state, is_site):
+            """Owned-tile dense site bitmask u8[Lx, Ly, Dz, 512].
+
+            The halo exchange ships SITE BITS, not f32 distance seeds: the
+            seed field is binary ({0, INF}), so a uint8 mask carries the
+            same information at 1/4 the ppermute bytes (band-width halos
+            are the dominant sharded-ESDF traffic: hb block layers per
+            side ~ MBs as f32)."""
             slots = state.slot_grid[1:Lx + 1, 1:Ly + 1, :]
-            data = g0[jnp.clip(slots, 0, cap - 1)]
-            return jnp.where((slots >= 0)[..., None], data, INF)
+            data = is_site[jnp.clip(slots, 0, cap - 1)]
+            return (data & (slots >= 0)[..., None]).astype(jnp.uint8)
 
         def solve(state, tsdf_d, tsdf_w):
             is_site, _, _ = esdf_ops.esdf_sites_from_tsdf(
                 tsdf_d, tsdf_w, voxel_size_m=jnp.float32(vs),
                 max_site_distance_vox=float(ep.max_site_distance_vox),
                 min_weight=float(ep.min_weight))
-            g0 = jnp.where(is_site, np.float32(0.0), INF)
-            S = dense_sites(state, g0)              # [Lx, Ly, Dz, 512]
+            S = dense_site_mask(state, is_site)     # u8[Lx, Ly, Dz, 512]
             idx = jax.lax.axis_index("space")
             sx, sy = idx // ny, idx % ny
 
@@ -535,24 +555,27 @@ class ShardedDeviceMapper:
                 up, dn = perms_y
                 from_dn = jax.lax.ppermute(S[:, Ly - hy:], "space", up)
                 from_up = jax.lax.ppermute(S[:, :hy], "space", dn)
-                from_dn = jnp.where(sy > 0, from_dn, INF)
-                from_up = jnp.where(sy < ny - 1, from_up, INF)
+                from_dn = jnp.where(sy > 0, from_dn, 0).astype(jnp.uint8)
+                from_up = jnp.where(sy < ny - 1, from_up, 0).astype(
+                    jnp.uint8)
                 S = jnp.concatenate([from_dn, S, from_up], axis=1)
             if hx:
                 right, left = perms_x
                 from_l = jax.lax.ppermute(S[Lx - hx:], "space", right)
                 from_r = jax.lax.ppermute(S[:hx], "space", left)
-                from_l = jnp.where(sx > 0, from_l, INF)
-                from_r = jnp.where(sx < nx - 1, from_r, INF)
+                from_l = jnp.where(sx > 0, from_l, 0).astype(jnp.uint8)
+                from_r = jnp.where(sx < nx - 1, from_r, 0).astype(jnp.uint8)
                 S = jnp.concatenate([from_l, S, from_r], axis=0)
 
             # Pad region x/y extents to multiples of 8 (Mosaic pass-kernel
-            # block constraint); pad layers hold no sites.
+            # block constraint); pad layers hold no sites. The f32 seed
+            # field materializes only AFTER the exchange.
             Sx_real, Sy_real = Lx + 2 * hx, Ly + 2 * hy
             Sx_pad = ((Sx_real + 7) // 8) * 8
             Sy_pad = ((Sy_real + 7) // 8) * 8
             S = jnp.pad(S, ((0, Sx_pad - Sx_real), (0, Sy_pad - Sy_real),
-                            (0, 0), (0, 0)), constant_values=INF)
+                            (0, 0), (0, 0)))
+            S = jnp.where(S > 0, np.float32(0.0), INF)
             dims_b = (Sx_pad, Sy_pad, Dz)
 
             # Block-major x-pass rows: lines are (cy, cz), x contiguous.
@@ -751,6 +774,228 @@ class ShardedDeviceMapper:
                 out[key] = (verts[s, i].reshape(-1, 3, 3)[m],
                             colors[s, i].reshape(-1, 3, 3)[m])
         return out
+
+    # ---------------------------------------------------------- freespace
+    def _build_freespace(self):
+        """Per-shard freespace state machine (parity: the reference runs
+        the freespace integrator on the mapper wherever the map lives,
+        mapper_initialization.cpp:430-463). The 26-neighborhood occupancy
+        check reads the +-1-block ghost ring, which carries the neighbor
+        shard's integrated data (frames are integrated into ghosts by both
+        owners), so no extra halo exchange is needed."""
+        c = self.config
+        camera = self.camera
+        Lx, Ly = c.tile_dims
+        Dz = c.global_dims[2]
+        dims_b = (Lx + 2, Ly + 2, Dz)
+        vs = c.voxel_size_m
+        fp = self.params.freespace
+        view_dist = float(self.params.projective.max_integration_distance_m)
+
+        def local(state, cons, last, hic, tsdf_d, tsdf_w, T_L_C, time_ms,
+                  last_ms):
+            from isaac_ros_nvblox_tpu.mapper.device_mapper import \
+                _freespace_fused
+            state = jax.tree.map(lambda x: x[0], state)
+            cons, last, hic = _freespace_fused(
+                cons[0], last[0], hic[0], state, tsdf_d[0], tsdf_w[0],
+                T_L_C, time_ms, last_ms,
+                jnp.asarray(state.origin_block, jnp.int32),
+                camera=camera, voxel_size_m=vs, params=fp,
+                view_distance_m=view_dist,
+                max_blocks=c.max_blocks_per_frame, dims_b=dims_b)
+            return cons[None], last[None], hic[None]
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state),
+                      spec, spec, spec, spec, spec, P(), P(), P()),
+            out_specs=(spec, spec, spec))
+        return jax.jit(fn, donate_argnums=(1, 2, 3))
+
+    def update_freespace(self, T_L_C, time_ms: float) -> None:
+        """Sharded freespace update at time `time_ms` (milliseconds)."""
+        cons, last, hic = self._freespace(
+            self.state, self.channels["freespace_consecutive_ms"],
+            self.channels["freespace_last_occupied_ms"],
+            self.channels["freespace_high_confidence"],
+            self.channels["tsdf_distance"], self.channels["tsdf_weight"],
+            jnp.asarray(T_L_C, jnp.float32), jnp.float32(time_ms),
+            jnp.float32(self._freespace_last_update_ms))
+        self.channels["freespace_consecutive_ms"] = cons
+        self.channels["freespace_last_occupied_ms"] = last
+        self.channels["freespace_high_confidence"] = hic
+        self._freespace_last_update_ms = float(time_ms)
+
+    # ----------------------------------------------------------- dynamics
+    def _build_detect(self):
+        """Sharded dynamic detection: each shard tests the depth pixels
+        whose backprojected points land in ITS tile against its freespace
+        high-confidence channel; a psum ORs the per-shard contributions
+        into the global dynamic mask (replicated). Parity: the dynamic
+        detector masks pixels observed inside high-confidence freespace
+        (SURVEY.md dynamics; multi_mapper._detect_dynamic_fused)."""
+        c = self.config
+        camera = self.camera
+        vs = c.voxel_size_m
+        max_depth = float(self.params.dynamic_max_depth_m) \
+            if hasattr(self.params, "dynamic_max_depth_m") else 4.0
+        sub = 2
+
+        def local(state, hic, depth, T_L_C):
+            from isaac_ros_nvblox_tpu.mapper.multi_mapper import \
+                _detect_dynamic_fused
+            state = jax.tree.map(lambda x: x[0], state)
+            mask, _ = _detect_dynamic_fused(
+                state, hic[0], depth, T_L_C, camera=camera,
+                voxel_size_m=vs, max_depth_m=max_depth, subsample=sub)
+            total = jax.lax.psum(mask.astype(jnp.int32), "space")
+            return total > 0
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state), spec,
+                      P(), P()),
+            out_specs=P())
+        return jax.jit(fn)
+
+    def detect_dynamic(self, depth, T_L_C) -> jnp.ndarray:
+        """Global dynamic-pixel mask bool[H, W] (replicated)."""
+        return self._detect(
+            self.state, self.channels["freespace_high_confidence"],
+            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(T_L_C, jnp.float32))
+
+    def dynamic_tick(self, depth, T_L_C, time_ms: float) -> jnp.ndarray:
+        """Sharded dynamic-mode step (parity: MultiMapper DYNAMIC tick):
+        detect -> masked split -> background TSDF -> foreground occupancy
+        -> freespace update. Requires enable_freespace + enable_occupancy
+        (the occupancy channels serve as the dynamic foreground layer).
+        Returns the dynamic mask."""
+        depth = jnp.asarray(depth, jnp.float32)
+        mask = self.detect_dynamic(depth, T_L_C)
+        bg = jnp.where(mask, 0.0, depth)
+        fg = jnp.where(mask, depth, 0.0)
+        self.integrate_depth(bg, T_L_C)
+        self.integrate_depth_occupancy(fg, T_L_C)
+        self.update_freespace(T_L_C, time_ms)
+        return mask
+
+    # -------------------------------------------------------------- lidar
+    def integrate_lidar(self, range_image, T_L_S, lidar) -> None:
+        """Sharded spherical (lidar) TSDF integration: the single-mapper
+        fused body (_integrate_lidar_fused: lidar view grid -> allocate ->
+        spherical fuse) runs per shard; shards whose tile the scan ball
+        cannot reach skip via the host flag (lidar scans are omnidirectional
+        so the ball test uses max_integration_distance around the sensor).
+        Parity: nvblox_node.cpp lidar path wherever the map lives."""
+        key = id(lidar)
+        if key not in self._lidar_fns:
+            self._lidar_fns[key] = self._build_lidar(lidar)
+        flags = self._view_flags(T_L_S if isinstance(T_L_S, np.ndarray)
+                                 else np.asarray(T_L_S))
+        (self.state, d, w, self.dirty, self.esdf_dirty) = \
+            self._lidar_fns[key](
+                self.state, self.channels["tsdf_distance"],
+                self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
+                flags, jnp.asarray(range_image, jnp.float32),
+                jnp.asarray(T_L_S, jnp.float32))
+        self.channels["tsdf_distance"] = d
+        self.channels["tsdf_weight"] = w
+
+    def _build_lidar(self, lidar):
+        c = self.config
+        p = self.params.projective
+        vs = c.voxel_size_m
+
+        def local(state, distance, weight, dirty, edirty, flag, rimg,
+                  T_L_S):
+            from isaac_ros_nvblox_tpu.mapper.device_mapper import \
+                _integrate_lidar_fused
+            state = jax.tree.map(lambda x: x[0], state)
+
+            def run(args):
+                state, d, w, dt, et = args
+                state, d, w, dt, et = _integrate_lidar_fused(
+                    state, d, w, dt, et, rimg, T_L_S, lidar=lidar,
+                    voxel_size_m=vs, params=p,
+                    max_blocks=c.max_blocks_per_frame,
+                    use_pallas=jax.default_backend() == "tpu")
+                return state, d, w, dt, et
+
+            state, d, w, dt, et = jax.lax.cond(
+                flag[0] > 0, run, lambda a: a,
+                (state, distance[0], weight[0], dirty[0], edirty[0]))
+            return (jax.tree.map(lambda x: x[None], state),
+                    d[None], w[None], dt[None], et[None])
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state),
+                      spec, spec, spec, spec, spec, P(), P()),
+            out_specs=(jax.tree.map(lambda _: spec, self.state),
+                       spec, spec, spec, spec))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
+
+    # ------------------------------------------------------- 2D slice/costmap
+    def _build_slice2d(self):
+        """Per-shard ESDF height slice -> per-shard [Lx*8, Ly*8] distance
+        image; the host assembles the global slice (publish cadence).
+        Parity: EsdfSlicer's 2D distance-map output feeding the nav2
+        costmap (nvblox_costmap_layer.cpp)."""
+        c = self.config
+        cap = c.capacity_per_shard
+        Lx, Ly = c.tile_dims
+        vs = c.voxel_size_m
+        INF = ed.INF
+
+        def local(state, sq, height_vox):
+            state = jax.tree.map(lambda x: x[0], state)
+            sq = sq[0]
+            bz = height_vox // 8
+            lz = height_vox % 8
+            slots = state.slot_grid[1:Lx + 1, 1:Ly + 1, :]   # [Lx, Ly, Dz]
+            slot_col = jnp.take(slots, bz, axis=2)           # [Lx, Ly]
+            rows = sq[jnp.clip(slot_col, 0, cap - 1)]        # [Lx, Ly, 512]
+            vals = rows.reshape(Lx, Ly, 8, 8, 8)
+            vals = jnp.take(vals, lz, axis=4)                # [Lx, Ly, 8, 8]
+            img = vals.transpose(0, 2, 1, 3).reshape(Lx * 8, Ly * 8)
+            have = jnp.repeat(jnp.repeat(slot_col >= 0, 8, axis=0),
+                              8, axis=1)
+            img = jnp.where(have, img, INF)
+            return img[None]
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state), spec, P()),
+            out_specs=spec)
+        return jax.jit(fn)
+
+    def slice_esdf_2d(self, height_m: float,
+                      unknown_value: float = 1000.0) -> np.ndarray:
+        """Global 2D ESDF distance slice f32[X*8, Y*8] in meters at height
+        `height_m` (host assembly of per-shard tiles; publish cadence)."""
+        c = self.config
+        nx, ny = c.grid
+        Lx, Ly = c.tile_dims
+        vs = c.voxel_size_m
+        hvox = int(np.floor(height_m / vs)) - c.origin_block[2] * 8
+        hvox = int(np.clip(hvox, 0, c.global_dims[2] * 8 - 1))
+        tiles = np.asarray(self._slice2d(
+            self.state, self.channels["esdf_sq_dist"],
+            jnp.int32(hvox)))                    # [n, Lx*8, Ly*8]
+        out = np.empty((c.global_dims[0] * 8, c.global_dims[1] * 8),
+                       np.float32)
+        for s in range(c.n_shards):
+            sx, sy = divmod(s, ny)
+            out[sx * Lx * 8:(sx + 1) * Lx * 8,
+                sy * Ly * 8:(sy + 1) * Ly * 8] = tiles[s]
+        dist = np.sqrt(np.minimum(out, 1e12)) * vs
+        return np.where(out >= float(ed.INF), unknown_value, dist)
 
     # ------------------------------------------------------------- queries
     def owned_block_mask(self, shard: int) -> np.ndarray:

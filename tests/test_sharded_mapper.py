@@ -337,3 +337,159 @@ def test_sharded_occupancy_and_decay():
     after = int(np.asarray(jax.tree.map(
         np.asarray, sharded.state).free_count).sum())
     assert after > 0                 # decayed blocks were recycled
+
+
+def test_sharded_freespace_matches_single_device():
+    """Sharded per-tile freespace (ghost-ring neighborhood check) must
+    match the single-device freespace channel on owned blocks."""
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.6),))
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024, enable_freespace=True)
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg)
+    single = DeviceMapper(
+        voxel_size_m=VOXEL,
+        world=wg.WorldGridConfig(dims=(64, 32, 16), capacity=8192,
+                                 origin_block=(-32, -16, -4)),
+        enable_color=False, enable_esdf=True, enable_freespace=True,
+        max_blocks_per_frame=4096)
+    for k, (depth, T) in enumerate(_frames(scene, n=3)):
+        sharded.integrate_depth(depth, T)
+        single.integrate_depth(depth, T, CAM)
+        t_ms = 400.0 * (k + 1)  # > freespace min duration steps
+        sharded.update_freespace(T, t_ms)
+        single.update_freespace(t_ms, T, CAM)
+
+    hc_single = np.asarray(single.channels["freespace_high_confidence"])
+    assert hc_single.sum() > 100  # the scene has confident freespace
+    state = jax.tree.map(np.asarray, sharded.state)
+    hc_sh = np.asarray(sharded.channels["freespace_high_confidence"])
+    slot_grid = np.asarray(single.state.slot_grid)
+    checked = 0
+    for s in range(8):
+        mask = sharded.owned_block_mask(s)
+        count = int(state.alloc_count[s])
+        bidx = state.block_index_of_slot[s][:count][mask]
+        hc = hc_sh[s][:count][mask]
+        for i, bi in enumerate(bidx.tolist()):
+            ss = int(slot_grid[bi[0] + 32, bi[1] + 16, bi[2] + 4])
+            assert ss >= 0, bi
+            assert (hc[i] == hc_single[ss]).all(), bi
+            checked += 1
+    assert checked > 50
+
+
+def test_sharded_lidar_matches_single_device():
+    """Sharded spherical lidar integration == single-device pointcloud
+    path on owned blocks."""
+    from isaac_ros_nvblox_tpu.models.lidar import (Lidar,
+                                                   pointcloud_to_range_image)
+    lidar = Lidar.equal_vertical_fov(64, 16, np.deg2rad(30.0),
+                                     min_range_m=0.2, max_range_m=8.0)
+    # Synthetic cylindrical wall at 1.2 m around the sensor.
+    az = np.linspace(-np.pi, np.pi, 256, endpoint=False)
+    el = np.linspace(-0.12, 0.12, 12)
+    azg, elg = np.meshgrid(az, el)
+    r = 1.2 / np.cos(elg)
+    points = np.stack([r * np.cos(elg) * np.cos(azg),
+                       r * np.cos(elg) * np.sin(azg),
+                       r * np.sin(elg)], -1).reshape(-1, 3).astype(np.float32)
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024)
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg)
+    single = DeviceMapper(
+        voxel_size_m=VOXEL,
+        world=wg.WorldGridConfig(dims=(64, 32, 16), capacity=8192,
+                                 origin_block=(-32, -16, -4)),
+        enable_color=False, enable_esdf=True, max_blocks_per_frame=4096)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 1.0
+    rimg = pointcloud_to_range_image(jnp.asarray(points), lidar)
+    sharded.integrate_lidar(rimg, T, lidar)
+    single.integrate_pointcloud(points, T, lidar)
+
+    assert sharded.total_owned_blocks() == single.block_count()
+    single_d = np.asarray(single.channels["tsdf_distance"])
+    slot_grid = np.asarray(single.state.slot_grid)
+    state = jax.tree.map(np.asarray, sharded.state)
+    checked = 0
+    for s in range(8):
+        mask = sharded.owned_block_mask(s)
+        count = int(state.alloc_count[s])
+        bidx = state.block_index_of_slot[s][:count][mask]
+        d = np.asarray(sharded.channels["tsdf_distance"])[s][:count][mask]
+        for i, bi in enumerate(bidx.tolist()):
+            ss = int(slot_grid[bi[0] + 32, bi[1] + 16, bi[2] + 4])
+            assert ss >= 0, bi
+            assert np.allclose(d[i], single_d[ss], atol=1e-5), bi
+            checked += 1
+    assert checked > 10
+
+
+def test_sharded_2d_slice_and_costmap():
+    """Global 2D ESDF slice assembled from shard tiles feeds the costmap
+    (the nav2-plugin consumption path at shard scope)."""
+    from isaac_ros_nvblox_tpu.runtime.costmap import (CostmapLayerParams,
+                                                      distance_to_cost)
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.6),))
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024)
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg)
+    for depth, T in _frames(scene, n=2):
+        sharded.integrate_depth(depth, T)
+    sharded.update_esdf()
+    grid = sharded.slice_esdf_2d(height_m=1.0)
+    assert grid.shape == (64 * 8, 32 * 8)
+    known = grid < 1000.0
+    assert known.sum() > 500          # observed band around the sphere
+    # Distances near the sphere surface are small, far ones larger.
+    assert grid[known].min() < 0.1
+    assert grid[known].max() > 0.5
+    costs = distance_to_cost(grid, unknown_value=1000.0,
+                             params=CostmapLayerParams())
+    assert (costs == 255).any()       # unknown cells
+    assert (costs[known] != 255).all()
+    assert costs[known].max() > 0
+
+
+def test_sharded_dynamic_tick():
+    """Sharded dynamic mode: freespace-driven detection via psum-ORed
+    per-shard masks, masked split into background TSDF + foreground
+    occupancy (MultiMapper DYNAMIC parity on shards)."""
+    scene = Scene(primitives=(Sphere(center=(0.0, 0.0, 1.0), radius=0.6),))
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024, enable_occupancy=True,
+        enable_freespace=True)
+    sharded = ShardedDeviceMapper(mesh, CAM, cfg)
+    # Build confident freespace on the empty room first.
+    frames = _frames(scene, n=2)
+    for k, (depth, T) in enumerate(frames):
+        sharded.integrate_depth(depth, T)
+        sharded.update_freespace(T, 400.0 * (k + 1))
+    hc = np.asarray(sharded.channels["freespace_high_confidence"])
+    assert hc.sum() > 100
+    # An intruder appears inside confident freespace: pixels closer than
+    # the static surface, landing in high-confidence voxels -> dynamic.
+    intruder = Scene(primitives=(
+        Sphere(center=(0.0, 0.0, 1.0), radius=0.6),
+        Sphere(center=(0.6, 0.3, 1.0), radius=0.18),
+    ))
+    depth2, T2 = frames[-1]
+    d_intr = render_depth(intruder, CAM, jnp.asarray(T2))
+    mask = sharded.dynamic_tick(d_intr, T2, 1200.0)
+    mask_np = np.asarray(mask)
+    assert mask_np.shape == (CAM.height, CAM.width)
+    assert mask_np.sum() > 10         # intruder pixels detected
+    lo = np.asarray(sharded.channels["occupancy_log_odds"])
+    assert (lo > 0).sum() > 10        # foreground occupancy integrated

@@ -59,7 +59,7 @@ def main():
                      enable_color=False, enable_esdf=True,
                      max_blocks_per_frame=2048)
     m.replay_frames(depths_r, poses_r, camera)
-    origin, dims = m.esdf_region()
+    origin, dims = m.esdf_region(margin_blocks=0, mult=1)
     band = m.esdf_band_vox
     ep = m.params.esdf
     print(f"region dims_b={tuple(dims)} band={band} "
