@@ -237,6 +237,7 @@ def main():
     mm = MultiMapper(
         MultiMapperParams(mapping_type=MappingType.DYNAMIC,
                           block_capacity=16384,
+                          max_blocks_per_frame=mapper.max_blocks_per_frame,
                           static_mapper=dataclasses.replace(
                               params,
                               remove_small_connected_components=False)),
@@ -262,7 +263,7 @@ def main():
     # frustum geometry, the bench reads it once after the warmup pass
     # (one readback, outside the timed loop) — production parity.
     mm.static_mapper._refresh_region_from_device()
-    dyn_region[0] = mm.static_mapper.esdf_region(margin_blocks=0)
+    dyn_region[0] = mm.static_mapper.esdf_region(margin_blocks=0, mult=1)
     dyn_pass()   # compile the fast-path variant
     t_dyn = float("inf")
     for _ in range(3):
@@ -441,6 +442,34 @@ def main():
     big_mapper.check_slot_bucket()
     assert int(big_mapper.state.overflow_count) == 0, "big-scene overflow"
 
+    # --- Mesh accuracy proxy: cluttered multi-room scene (untimed). ---
+    # The strongest stand-in for real Replica/Redwood accuracy benchmarks
+    # available here (no real sequences ship in this environment): exact
+    # analytic SDF ground truth, a two-room trajectory, and a
+    # surface-error + F-score evaluation on device (utils/metrics.py).
+    from isaac_ros_nvblox_tpu.models.scene import (cluttered_multi_room_scene,
+                                                   look_at_pose)
+    from isaac_ros_nvblox_tpu.utils.metrics import mesh_accuracy
+    acc_scene = cluttered_multi_room_scene()
+    acc_mapper = DeviceMapper(
+        voxel_size_m=voxel_size, params=big_params,
+        world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
+                              origin_block=(-32, -32, -8)),
+        enable_color=False, enable_esdf=False, max_blocks_per_frame=4096)
+    acc_depths, acc_poses = [], []
+    for room_cx in (-3.0, 3.0):
+        for k in range(12):
+            a = 2 * np.pi * k / 12
+            eye = (room_cx + 1.6 * np.cos(a), 1.4 * np.sin(a), 1.3)
+            T = look_at_pose(eye, (room_cx, 0.0, 1.2))
+            acc_poses.append(jnp.asarray(T, jnp.float32))
+            acc_depths.append(render_depth(acc_scene, camera,
+                                           acc_poses[-1]))
+    _barrier(acc_mapper.replay_frames(jnp.stack(acc_depths),
+                                      jnp.stack(acc_poses), camera))
+    acc = mesh_accuracy(acc_mapper, acc_scene)
+    acc_blocks = acc_mapper.block_count()
+
     # --- Accuracy vs the analytic scene (reconstruction parity check). ---
     from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
     from isaac_ros_nvblox_tpu.ops.esdf import INF_SQ
@@ -484,6 +513,11 @@ def main():
         "tsdf_ms_large_scene": round(tsdf_ms_big, 3),
         "esdf_ms_large_scene": round(esdf_ms_big, 3),
         "allocated_blocks_large_scene": n_blocks_big,
+        "mesh_fscore": round(acc["mesh_fscore"], 4),
+        "mesh_surface_err_m": round(acc["mesh_surface_err_m"], 4),
+        "mesh_precision": round(acc["mesh_precision"], 4),
+        "mesh_completeness": round(acc["mesh_completeness"], 4),
+        "accuracy_scene_blocks": acc_blocks,
         **tick_breakdown,
         "device": str(jax.devices()[0]),
     }))

@@ -165,7 +165,7 @@ def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
             voxel_size_m=voxel_size_m, params=occ_params,
             proj_max_distance_m=float(occ_params.max_integration_distance_m),
             truncation_m=float(occ_params.occupied_region_half_width_m),
-            max_blocks=max_blocks, mask_mode=2, use_pallas=use_pallas)
+            max_blocks=dyn_max_blocks, mask_mode=2, use_pallas=use_pallas)
         dch = dict(dch, occupancy_log_odds=lo, occupancy_observed=ob)
         cons, last, hc = dm._freespace_fused(
             sch["freespace_consecutive_ms"],
@@ -204,6 +204,7 @@ class MultiMapper:
             projective_layer=static_layer, world=world,
             enable_color=(static_layer == ProjectiveLayerType.TSDF),
             enable_esdf=True, enable_freespace=self.uses_freespace,
+            max_blocks_per_frame=p.max_blocks_per_frame,
             name="static_mapper")
         self.dynamic_mapper: Optional[DeviceMapper] = None
         if self.is_dynamic_mode:
@@ -328,7 +329,9 @@ class MultiMapper:
         sm, dmap = self.static_mapper, self.dynamic_mapper
         if region is None and not sm._region_unknown \
                 and sm._aabb_lo is not None:
-            region = sm.esdf_region(margin_blocks=0)
+            # Replay regions are fixed per run: no bucket slack needed,
+            # and the freespace dilation cost scales with region volume.
+            region = sm.esdf_region(margin_blocks=0, mult=1)
         if region is not None:
             free_origin_b = jnp.asarray(region[0], jnp.int32)
             free_dims_b = tuple(int(d) for d in region[1])

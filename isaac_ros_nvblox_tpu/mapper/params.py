@@ -110,6 +110,10 @@ class MultiMapperParams:
     # objects cover a small masked footprint, so its integration batch (and
     # kernel grid) can be much smaller than the background mapper's.
     dynamic_max_blocks_per_frame: int = 512
+    # Per-frame view-batch budget of the background (static) mapper; the
+    # fusion kernel's fixed cost scales with this static batch, so size it
+    # to the sensor/scene (overflow is counted, never silent).
+    max_blocks_per_frame: int = 2048
 
 
 # ---------------------------------------------------------------- overlays

@@ -503,8 +503,14 @@ class ShardedDeviceMapper:
             self.state, self.channels, self.dirty, self.esdf_dirty)
 
     # ----------------------------------------------------------------- esdf
-    def _build_esdf(self):
+    def _build_esdf(self, no_exchange: bool = False):
         """Sharded exact dense EDT: two halo exchanges, three local passes.
+
+        `no_exchange=True` builds a TIMING-ONLY variant with every
+        ppermute halo/flag exchange replaced by its fill value (results
+        are wrong near tile boundaries): differencing it against the real
+        solve isolates the collective cost per solve for the scaling
+        artifact (tools/scaling_curve.py).
 
         Per shard the solve covers its owned tile plus `hb` halo block
         layers per inner side (hb = ceil(band/8)). Site data arrives in two
@@ -552,19 +558,29 @@ class ShardedDeviceMapper:
             sx, sy = idx // ny, idx % ny
 
             if hy:
-                up, dn = perms_y
-                from_dn = jax.lax.ppermute(S[:, Ly - hy:], "space", up)
-                from_up = jax.lax.ppermute(S[:, :hy], "space", dn)
-                from_dn = jnp.where(sy > 0, from_dn, 0).astype(jnp.uint8)
-                from_up = jnp.where(sy < ny - 1, from_up, 0).astype(
-                    jnp.uint8)
+                if no_exchange:
+                    from_dn = jnp.zeros_like(S[:, :hy])
+                    from_up = jnp.zeros_like(S[:, :hy])
+                else:
+                    up, dn = perms_y
+                    from_dn = jax.lax.ppermute(S[:, Ly - hy:], "space", up)
+                    from_up = jax.lax.ppermute(S[:, :hy], "space", dn)
+                    from_dn = jnp.where(sy > 0, from_dn, 0).astype(
+                        jnp.uint8)
+                    from_up = jnp.where(sy < ny - 1, from_up, 0).astype(
+                        jnp.uint8)
                 S = jnp.concatenate([from_dn, S, from_up], axis=1)
             if hx:
-                right, left = perms_x
-                from_l = jax.lax.ppermute(S[Lx - hx:], "space", right)
-                from_r = jax.lax.ppermute(S[:hx], "space", left)
-                from_l = jnp.where(sx > 0, from_l, 0).astype(jnp.uint8)
-                from_r = jnp.where(sx < nx - 1, from_r, 0).astype(jnp.uint8)
+                if no_exchange:
+                    from_l = jnp.zeros_like(S[:hx])
+                    from_r = jnp.zeros_like(S[:hx])
+                else:
+                    right, left = perms_x
+                    from_l = jax.lax.ppermute(S[Lx - hx:], "space", right)
+                    from_r = jax.lax.ppermute(S[:hx], "space", left)
+                    from_l = jnp.where(sx > 0, from_l, 0).astype(jnp.uint8)
+                    from_r = jnp.where(sx < nx - 1, from_r, 0).astype(
+                        jnp.uint8)
                 S = jnp.concatenate([from_l, S, from_r], axis=0)
 
             # Pad region x/y extents to multiples of 8 (Mosaic pass-kernel
@@ -639,7 +655,7 @@ class ShardedDeviceMapper:
             sx, sy = idx // ny, idx % ny
             zero = jnp.zeros((), jnp.int32)
             r_dn = r_up = zero
-            if hy:
+            if hy and not no_exchange:
                 up, dn = perms_y
                 f_up = jnp.any(ed_live & (ly >= Ly + 1 - hb)).astype(
                     jnp.int32)
@@ -649,7 +665,7 @@ class ShardedDeviceMapper:
                 r_dn = jnp.where(sy > 0, r_dn, 0)
                 r_up = jnp.where(sy < ny - 1, r_up, 0)
             r_l = r_r = zero
-            if hx:
+            if hx and not no_exchange:
                 right, left = perms_x
                 near_r = jnp.any(ed_live & (lx >= Lx + 1 - hb)).astype(
                     jnp.int32)

@@ -181,3 +181,38 @@ def _assert_surface_accuracy(m, scene, max_mae=0.05):
     assert band.sum() > 300
     mae = float(np.mean(np.abs(d[band] - gt[band])))
     assert mae < max_mae, mae
+
+
+def test_mesh_accuracy_fscore_thresholds(replica_root):
+    """Mesh surface-error + completeness (F-score) against the analytic
+    SDF with hard thresholds (VERDICT r3 #7: the strongest accuracy proxy
+    without real Replica/Redwood data)."""
+    from isaac_ros_nvblox_tpu.core.world_grid import WorldGridConfig
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
+    from isaac_ros_nvblox_tpu.utils.metrics import mesh_accuracy
+    root, scene = replica_root
+    camera = Camera(fx=160.0, fy=160.0, cx=79.5, cy=59.5,
+                    width=160, height=120)
+    loader = ReplicaDataLoader(root)
+    m = DeviceMapper(
+        voxel_size_m=VOXEL,
+        world=WorldGridConfig(dims=(24, 24, 12), capacity=4096,
+                              origin_block=(-12, -12, -2)),
+        enable_color=False, enable_esdf=False, max_blocks_per_frame=2048)
+    depths, poses = [], []
+    while True:
+        res, frame = loader.load_next()
+        if frame is None:
+            break
+        depths.append(jnp.asarray(frame.depth, jnp.float32))
+        poses.append(jnp.asarray(frame.T_L_C, jnp.float32))
+    m.replay_frames(jnp.stack(depths), jnp.stack(poses), camera)
+    acc = mesh_accuracy(m, scene)
+    assert acc["mesh_vertices"] > 1000
+    assert acc["gt_surface_samples"] > 1000
+    # Hard thresholds: surface error well under a voxel; high F-score at
+    # tau = 2 voxels.
+    assert acc["mesh_surface_err_m"] < 0.5 * VOXEL, acc
+    assert acc["mesh_precision"] > 0.95, acc
+    assert acc["mesh_completeness"] > 0.80, acc
+    assert acc["mesh_fscore"] > 0.88, acc

@@ -100,7 +100,33 @@ for _ in range(reps):
     m.update_esdf()
     jax.block_until_ready(m.channels["esdf_sq_dist"])
 t_esdf = (time.perf_counter() - t0) / reps
+
+# Exchange-vs-solve split: the same solve with every ppermute replaced by
+# its fill value (results wrong at boundaries; timing-only). The real
+# minus the no-exchange wall is the collective cost per solve.
+noex = m._build_esdf(no_exchange=True)
+sq_t = m.channels["esdf_sq_dist"] + 0.0   # donation-safe copy
+ed_t = jax.device_put(jnp.ones_like(m.esdf_dirty), m._sharding)
+out = noex(m.state, m.channels["tsdf_distance"],
+           m.channels["tsdf_weight"], ed_t, sq_t)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+for _ in range(reps):
+    sq_t = out[0]
+    ed_t = jax.device_put(jnp.ones_like(m.esdf_dirty), m._sharding)
+    out = noex(m.state, m.channels["tsdf_distance"],
+               m.channels["tsdf_weight"], ed_t, sq_t)
+    jax.block_until_ready(out)
+t_noex = (time.perf_counter() - t0) / reps
+
+import math
+cores = os.cpu_count() or 1
 nx, ny = m.config.grid
+Lx, Ly = m.config.tile_dims
+band = int(np.ceil(m.params.esdf.max_esdf_distance_m / 0.05))
+hb = (band + 7) // 8
+dims = [Lx + 2 * hb * (nx > 1), Ly + 2 * hb * (ny > 1),
+        m.config.global_dims[2]]
 collectives = {"esdf_site_ppermute": 2 * int(nx > 1) + 2 * int(ny > 1),
                "esdf_flag_ppermute": 2 * int(nx > 1) + 2 * int(ny > 1),
                "esdf_need_psum": 1}
@@ -108,9 +134,16 @@ print(json.dumps({"n": n, "owned_blocks": m.total_owned_blocks(),
                   "per_frame_ms": round(t_int * 1e3, 2),
                   "esdf_ms": round(t_esdf * 1e3, 2),
                   "esdf_ms_per_shard": round(t_esdf * 1e3 / n, 2),
-                  "per_shard_solve_dims": [8 + 2 * ((m.params.esdf
-                      .max_esdf_distance_m / 0.05 + 7) // 8 * (n > 1)),
-                      32, 16],
+                  "esdf_noexchange_ms": round(t_noex * 1e3, 2),
+                  "exchange_ms": round((t_esdf - t_noex) * 1e3, 2),
+                  "host_cores": cores,
+                  "host_oversubscription": round(n / cores, 2),
+                  # Contention-corrected per-shard wall: on a c-core host
+                  # running n virtual devices, flat per-shard work implies
+                  # total wall ~ t_shard * n / min(n, c); invert that.
+                  "esdf_ms_per_shard_core_norm": round(
+                      t_esdf * 1e3 * min(n, cores) / n, 2),
+                  "per_shard_solve_dims": dims,
                   "collectives_per_esdf": collectives}))
 """
 
