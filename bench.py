@@ -442,6 +442,12 @@ def main():
     big_mapper.check_slot_bucket()
     assert int(big_mapper.state.overflow_count) == 0, "big-scene overflow"
 
+    # Free the dynamic/node/big-scene device state before the accuracy
+    # map: the pool channels are ~33 MB each and HBM holds every live
+    # mapper at once (a full accuracy map OOMed here before the dels).
+    del mm, dyn_pass, node, node_pass, big_mapper, big_depths, big_poses
+    del big_depths_r, big_poses_r, timed_big, incr_j, incr_scan
+
     # --- Mesh accuracy proxy: cluttered multi-room scene (untimed). ---
     # The strongest stand-in for real Replica/Redwood accuracy benchmarks
     # available here (no real sequences ship in this environment): exact

@@ -1686,23 +1686,22 @@ class DeviceMapper:
     def update_mesh_device(self, chunk: int = 2048):
         """Run marching cubes over all allocated blocks on device.
 
-        Returns the list of (verts, colors, valid, bidx) chunk results as
-        device arrays (for timing / downstream device use). No host
-        compaction — see export_mesh.
+        Yields (verts, colors, valid, bidx) chunk results LAZILY as device
+        arrays (a full map's eager list is GBs of triangle-soup buffers;
+        consumers reduce or drain each chunk before the next is built).
+        No host compaction — see export_mesh.
         """
         # Iterate to the slot high-water mark: freed slots are inert (zero
         # weights) and produce no triangles.
         count = int(self.state.alloc_count)
-        results = []
+        self.dirty = self.dirty.at[:].set(False)
+        self.mesh_pending = jnp.zeros_like(self.mesh_pending)
         for start in range(0, max(count, 1), chunk):
             n = min(chunk, self.capacity)
             slots, bidx, _ = wg.allocated_batch_range(
                 self.state, start=start, max_blocks=n)
             verts, colors, valid = self._mesh_chunk(slots, bidx)
-            results.append((verts, colors, valid, bidx))
-        self.dirty = self.dirty.at[:].set(False)
-        self.mesh_pending = jnp.zeros_like(self.mesh_pending)
-        return results
+            yield verts, colors, valid, bidx
 
     def export_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full-map mesh to host (cold path): returns (verts, colors, tris)."""

@@ -25,6 +25,7 @@ TanksAndTemples-style F-score, at thresholds scaled to the voxel size):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -54,56 +55,59 @@ def mesh_accuracy(mapper, scene, tau_m: float | None = None
     origin_vox = jnp.asarray(origin, jnp.int32) * 8
     dims_vox = tuple(int(d) * 8 for d in dims)
 
-    err_sum = jnp.float32(0.0)
-    n_verts = jnp.float32(0.0)
-    n_prec = jnp.float32(0.0)
-    cover = jnp.zeros(dims_vox, jnp.bool_)
-    for verts, colors, valid, bidx in mapper.update_mesh_device():
-        v = verts.reshape(-1, 3)                     # [M, 3] world meters
-        ok = valid.reshape(-1)
-        ok3 = jnp.repeat(ok, 3)                      # 3 corners / tri
-        vv = verts.reshape(-1, 3, 3).reshape(-1, 3)  # per corner
+    # One jitted reduction per mesh chunk (scene is a hashable frozen
+    # dataclass -> static arg; XLA fuses the per-primitive SDF min chain
+    # instead of materializing a [n_prims, M] stack, and the coverage
+    # grid updates in place via donation). The chunk generator is lazy, so
+    # peak HBM is one chunk's soup, not the whole map's.
+    @functools.partial(jax.jit, static_argnames=("scn",),
+                       donate_argnums=(0,))
+    def _chunk_stats(cover, acc, verts, valid, *, scn):
+        vv = verts.reshape(-1, 3, 3).reshape(-1, 3)  # per corner, meters
         okc = jnp.repeat(valid.reshape(-1), 3)
-        d = jnp.abs(scene.sdf(vv))
-        d = jnp.where(okc, d, 0.0)
+        d = jnp.where(okc, jnp.abs(scn.sdf(vv)), 0.0)
+        err_sum, n_verts, n_prec = acc
         err_sum = err_sum + jnp.sum(d)
         n_verts = n_verts + jnp.sum(okc.astype(jnp.float32))
         n_prec = n_prec + jnp.sum((okc & (d < tau)).astype(jnp.float32))
-        # Vertex-occupancy scatter at voxel resolution (element scatter:
-        # acceptable at diagnostic cadence).
         cell = jnp.floor(vv / vox).astype(jnp.int32) - origin_vox
         dims_a = jnp.asarray(dims_vox, jnp.int32)
         in_g = okc & jnp.all((cell >= 0) & (cell < dims_a), axis=-1)
         cellw = jnp.where(in_g[:, None], cell, dims_a)
         cover = cover.at[cellw[:, 0], cellw[:, 1], cellw[:, 2]].set(
             True, mode="drop")
-        del v, ok, ok3
+        return cover, (err_sum, n_verts, n_prec)
 
-    # Dilate coverage by one voxel per axis (proximity ~ tau for the
-    # completeness test).
-    dil = cover
-    for axis in range(3):
-        dil = dil | jnp.roll(dil, 1, axis) | jnp.roll(dil, -1, axis)
+    cover = jnp.zeros(dims_vox, jnp.bool_)
+    acc = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    for verts, colors, valid, bidx in mapper.update_mesh_device(chunk=1024):
+        cover, acc = _chunk_stats(cover, acc, verts, valid, scn=scene)
+        del verts, colors, valid, bidx
+    err_sum, n_verts, n_prec = acc
 
-    # True-surface samples: observed voxel centers within voxel/2 of the
-    # GT surface (sampled over the allocated pool — the map can only be
-    # complete where it observed).
-    cap = mapper.capacity
-    live = wg.live_slot_mask(mapper.state)
-    centers = voxel_centers_for_blocks(
-        mapper.state.block_index_of_slot, vox)       # [cap, 512, 3]
-    gt = scene.sdf(centers.reshape(-1, 3)).reshape(cap, -1)
-    w = mapper.channels["tsdf_weight"]
-    gt_surface = (jnp.abs(gt) < 0.5 * vox) & (w > 1e-6) & live[:, None]
-    cell = (jnp.floor(centers / vox).astype(jnp.int32)
-            - origin_vox).reshape(-1, 3)
-    dims_a = jnp.asarray(dims_vox, jnp.int32)
-    in_g = jnp.all((cell >= 0) & (cell < dims_a), axis=-1)
-    safe = jnp.clip(cell, 0, dims_a - 1)
-    covered = dil[safe[:, 0], safe[:, 1], safe[:, 2]] & in_g
-    gs = gt_surface.reshape(-1)
-    n_surface = jnp.sum(gs.astype(jnp.float32))
-    n_covered = jnp.sum((gs & covered).astype(jnp.float32))
+    @functools.partial(jax.jit, static_argnames=("scn",))
+    def _completeness(cover, state, w, *, scn):
+        # Dilate coverage by one voxel per axis (proximity ~ tau).
+        dil = cover
+        for axis in range(3):
+            dil = dil | jnp.roll(dil, 1, axis) | jnp.roll(dil, -1, axis)
+        cap = w.shape[0]
+        live = wg.live_slot_mask(state)
+        centers = voxel_centers_for_blocks(state.block_index_of_slot, vox)
+        gt = scn.sdf(centers.reshape(-1, 3)).reshape(cap, -1)
+        gt_surface = (jnp.abs(gt) < 0.5 * vox) & (w > 1e-6) & live[:, None]
+        cell = (jnp.floor(centers / vox).astype(jnp.int32)
+                - origin_vox).reshape(-1, 3)
+        dims_a = jnp.asarray(dims_vox, jnp.int32)
+        in_g = jnp.all((cell >= 0) & (cell < dims_a), axis=-1)
+        safe = jnp.clip(cell, 0, dims_a - 1)
+        covered = dil[safe[:, 0], safe[:, 1], safe[:, 2]] & in_g
+        gs = gt_surface.reshape(-1)
+        return (jnp.sum(gs.astype(jnp.float32)),
+                jnp.sum((gs & covered).astype(jnp.float32)))
+
+    n_surface, n_covered = _completeness(
+        cover, mapper.state, mapper.channels["tsdf_weight"], scn=scene)
 
     out = jax.device_get((err_sum, n_verts, n_prec, n_surface, n_covered))
     err_sum_f, n_verts_f, n_prec_f, n_surface_f, n_covered_f = map(

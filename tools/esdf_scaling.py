@@ -87,6 +87,35 @@ def _occupied_program_frac(is_site_np, cells_np, n, dims_b, band):
     return float(pad.reshape(n_prog, _NL).any(axis=1).mean())
 
 
+def _active_chunk_frac(is_site_np, cells_np, n, dims_b, band):
+    """Fraction of x-pass 8-row output CHUNKS that are active under the
+    round-4 chunk-granular skip (ops/esdf_dense.py _pass_kernel cflags):
+    a chunk runs iff any input row within its +-band//8 candidate window
+    is occupied. This is the quantity that replaced the per-program line
+    flag (r3: xpass_occupied_program_frac was 1.0 on all rooms — every
+    program held SOME site; chunks inside occupied lines still skip)."""
+    from isaac_ros_nvblox_tpu.ops.esdf_dense import (_NL, halo_blocks,
+                                                     line_rows)
+    Nx, Ny, Nz = dims_b
+    Sp = line_rows(Nx, band)
+    Hb = halo_blocks(band)
+    A = band // 8
+    has = is_site_np[:n].any(axis=1)
+    occ = np.zeros((Ny * Nz, Sp), bool)
+    for s in range(n):
+        if has[s]:
+            line = cells_np[s, 1] * Nz + cells_np[s, 2]
+            occ[line, Hb + cells_np[s, 0]] = True
+    n_lines_pad = ((Ny * Nz + _NL - 1) // _NL) * _NL
+    rows = np.zeros(n_lines_pad * Sp, bool)
+    rows[:Ny * Nz * Sp] = occ.reshape(-1)
+    ext = np.pad(rows, (A, A))
+    n_chunks = len(rows) // 8
+    active = np.asarray([ext[c * 8:c * 8 + 8 + 2 * A].any()
+                         for c in range(n_chunks)])
+    return float(active.mean())
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -153,6 +182,8 @@ def main():
             "aabb_block_volume": Nx * Ny * Nz,
             "occupied_frac": round(n / (Nx * Ny * Nz), 4),
             "xpass_occupied_program_frac": round(_occupied_program_frac(
+                np.asarray(is_site), np.asarray(cells), n, dims_b, band), 4),
+            "xpass_active_chunk_frac": round(_active_chunk_frac(
                 np.asarray(is_site), np.asarray(cells), n, dims_b, band), 4),
             "esdf_ms": round(ms, 3),
         })
