@@ -64,16 +64,25 @@ _LANE_STRIDE = {0: 64, 1: 8, 2: 1}
 
 
 def halo_blocks(band: int) -> int:
-    """Block halo per line end; sized so all kernel row reads stay in-line."""
-    return band // 8 + 1
+    """INF gap rows BETWEEN consecutive lines (shared, not per end).
+
+    Lean layout (round 4): lines start at local row 0 and are separated
+    by one shared gap of ceil(band/8) INF rows — enough that (a) banded
+    candidate reads (|a| <= band//8 rows) from one line's output rows
+    never touch another line's real rows, and (b) pass-1 log-doubling
+    leakage across the gap carries L1 distance >= 8*gap + 1 > band, which
+    the final band clamp squashes. The old layout paid 2*(band//8 + 1)
+    rows per line plus round-to-8 padding (~20-30% of all pass volume at
+    band 40); NL = 8 lines per program keeps any Sp a legal Mosaic
+    sublane multiple without per-line rounding."""
+    return (band + 7) // 8
 
 
 def line_rows(Sb: int, band: int) -> int:
-    """Padded rows per line: Sb + 2*halo, rounded up to a multiple of 8
-    (Mosaic block-shape constraint). Extra rows sit at the line end and
-    stay INF."""
-    sp = Sb + 2 * halo_blocks(band)
-    return ((sp + 7) // 8) * 8
+    """Rows per line in pass-input layout: Sb real rows + the shared
+    inter-line INF gap, rounded to a multiple of 8 so chunk and line
+    boundaries stay aligned (the round-up rows extend the gap)."""
+    return ((Sb + halo_blocks(band) + 7) // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +166,11 @@ def _pass_body(cflag_ref, in_ref, out_ref, c_ref, i, *, Sb: int, Hb: int,
         c_ref[b - 1, _EP:_EP + L - 1] = jnp.where(
             mask, r_b[: L - 1], r_pb[1:L])
         c_ref[b - 1, _EP + L - 1:_EP + L] = inf_pad[:1]
+        # Row -1's carry: its non-wrapping lanes read x[-1] (edge pad,
+        # INF) but its WRAPPING lanes read x[0]'s rolled values — needed
+        # since the lean layout emits output from global row 0, whose
+        # backward candidates (any a = -r-1 reach) land here.
+        c_ref[b - 1, _EP - 1:_EP] = jnp.where(mask, inf_pad[:1], r_pb[0:1])
 
     def cand(k, r0, h):
         b = k % 8                      # python mod: in [0, 8)
@@ -169,15 +183,16 @@ def _pass_body(cflag_ref, in_ref, out_ref, c_ref, i, *, Sb: int, Hb: int,
     n_chunks = L // 8
     for c in range(n_chunks):
         ll, cl = c // CPL, c % CPL
-        # Rows of this chunk that are real line output (line-local input
-        # rows [Hb, Hb + Sb)); pad-only chunks drop at compile time.
-        lo = max(8 * cl, Hb)
-        hi = min(8 * cl + 8, Hb + Sb)
+        # Rows of this chunk that are real line output (lines start at
+        # local row 0; rows [Sb, Sp) are the shared INF gap); gap-only
+        # chunks drop at compile time.
+        lo = 8 * cl
+        hi = min(8 * cl + 8, Sb)
         if lo >= hi:
             continue
         r0 = ll * Sp + lo              # first computed input row
         h = hi - lo                    # rows computed (1..8)
-        o0 = ll * Sb + (lo - Hb)       # first output row
+        o0 = ll * Sb + lo              # first output row
 
         @pl.when(cflag_ref[i * n_chunks + c] > 0)
         def _(r0=r0, h=h, o0=o0):
@@ -273,7 +288,7 @@ def _pass1_body(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
     Sp = L // NL
     for ll in range(NL):
         out_ref[ll * Sb:(ll + 1) * Sb] = \
-            sq[ll * Sp + Hb:ll * Sp + Hb + Sb]
+            sq[ll * Sp:ll * Sp + Sb]
 
 
 @functools.partial(jax.jit,
@@ -291,6 +306,8 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
     pad. Returns f32[n_lines * Sb, 512] (compact: halo rows removed).
     """
     Hb = halo_blocks(band)
+    assert Hb <= _EP, (
+        f"band {band} needs {Hb} halo rows > the {_EP}-row kernel edge pad")
     Sp = line_rows(Sb, band)
     m = _LANE_STRIDE[axis]
     NL = _NL
@@ -322,7 +339,11 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
         kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
                                  NL=NL)
         scratch = [pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)]
-        A = band // 8
+        # Candidate input reach per output row is ceil(band/8) rows (the
+        # carry buffers C_b read rows r and r+1, so k = 8a+b reaches
+        # a + (b > 0) rows) — NOT band//8; the two differ when band is
+        # not a multiple of 8.
+        A = halo_blocks(band)
         ext = jnp.concatenate([jnp.zeros((A,), jnp.int32),
                                row_fin.astype(jnp.int32),
                                jnp.zeros((A,), jnp.int32)])
@@ -379,7 +400,9 @@ def _row_of_cell(cx, cy, cz, dims_b, axis: int, band: int, padded: bool):
     else:
         line, r, S = cx * Ny + cy, cz, Nz
     if padded:
-        return line * line_rows(S, band) + r + halo_blocks(band)
+        # Lean layout: lines start at local row 0; the shared INF gap
+        # trails each line (see halo_blocks).
+        return line * line_rows(S, band) + r
     return line * S + r
 
 

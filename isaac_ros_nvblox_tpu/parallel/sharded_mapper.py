@@ -599,8 +599,9 @@ class ShardedDeviceMapper:
             rows_per_line = ed.line_rows(Sx, band)
             Hb = ed.halo_blocks(band)
             lanes = S.reshape(Sx_pad, Sy_pad * Dz, V).transpose(1, 0, 2)
+            # Lean pass layout: lines start at row 0, INF gap trails.
             lanes = jnp.pad(
-                lanes, ((0, 0), (Hb, rows_per_line - Sx - Hb), (0, 0)),
+                lanes, ((0, 0), (0, rows_per_line - Sx), (0, 0)),
                 constant_values=INF)
             rows_x = lanes.reshape(-1, V)
 
