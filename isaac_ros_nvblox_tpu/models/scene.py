@@ -94,18 +94,19 @@ def cluttered_multi_room_scene() -> Scene:
     """Two connected rooms with a doorway and furniture-scale clutter.
 
     The strongest analytic stand-in for a real multi-room Replica-style
-    sequence (VERDICT r3 next #7): a 12 x 7.2 x 3.2 m envelope split by a
+    sequence (VERDICT r3 next #7): a 13 x 8.8 x 3.6 m envelope split by a
     partition wall with a 1 m doorway (two wall segments — the SDF stays
     an exact min-union), plus table/shelf/box/sphere clutter in both
-    rooms. Everything is an exact SDF, so mesh/ESDF accuracy can be
+    rooms (~10k allocated blocks at 0.05 m voxels under a two-room
+    orbit). Everything is an exact SDF, so mesh/ESDF accuracy can be
     thresholded against ground truth.
     """
     wall_t = 0.1
     return Scene(primitives=(
-        RoomBox(center=(0.0, 0.0, 1.6), half_extents=(6.0, 3.6, 1.6)),
+        RoomBox(center=(0.0, 0.0, 1.8), half_extents=(6.5, 4.4, 1.8)),
         # Partition wall at x = 0 with a doorway gap y in [-0.6, 0.4].
-        Box(center=(0.0, -2.1, 1.6), half_extents=(wall_t, 1.5, 1.6)),
-        Box(center=(0.0, 1.9, 1.6), half_extents=(wall_t, 1.7, 1.6)),
+        Box(center=(0.0, -2.5, 1.8), half_extents=(wall_t, 1.9, 1.8)),
+        Box(center=(0.0, 2.4, 1.8), half_extents=(wall_t, 2.0, 1.8)),
         # Room A (x < 0): table (top + leg block), shelf, clutter.
         Box(center=(-3.0, -1.2, 0.75), half_extents=(0.8, 0.5, 0.05)),
         Box(center=(-3.0, -1.2, 0.35), half_extents=(0.6, 0.35, 0.35)),

@@ -187,6 +187,7 @@ class ShardedDeviceMapper:
                         if c.enable_freespace else None)
         self._slice2d = self._build_slice2d()
         self._lidar_fns: Dict[object, object] = {}
+        self._routed = None   # built on first integrate_frames_routed
 
     # ------------------------------------------------------------- topology
     def _perms(self, axis: str):
@@ -791,6 +792,104 @@ class ShardedDeviceMapper:
                 out[key] = (verts[s, i].reshape(-1, 3, 3)[m],
                             colors[s, i].reshape(-1, 3, 3)[m])
         return out
+
+    # ------------------------------------------------------ frame routing
+    def integrate_frames_routed(self, depths, T_L_Cs) -> None:
+        """Routed multi-camera ingestion: one frame per shard, rotated
+        around a ring of ppermutes (SURVEY §2.3/§5.8's all_to_all frame
+        fan-out, replacing host broadcast).
+
+        Each device uploads ONE frame (its local camera's) instead of the
+        host broadcasting every frame to every device — the property that
+        matters for a pod ingesting per-tile camera streams, where host
+        PCIe fan-out is the bottleneck. Frames visit every shard over ICI
+        (n-1 ppermute hops); a visiting frame integrates only where the
+        host frustum-vs-tile flag says its frustum can touch the tile
+        (non-intersecting visits skip the whole fused body), so the
+        integrated (frame, shard) set — and the resulting map — is
+        IDENTICAL to n broadcast integrate_depth calls.
+
+        depths: [n_shards, H, W]; T_L_Cs: [n_shards, 4, 4] (host arrays).
+        """
+        c = self.config
+        n = c.n_shards
+        assert depths.shape[0] == n and T_L_Cs.shape[0] == n
+        flags = np.stack([np.asarray(self._view_flags(np.asarray(T)))
+                          for T in T_L_Cs])            # [frame, shard]
+        if self._routed is None:
+            self._routed = self._build_routed()
+        depths_sh = jax.device_put(jnp.asarray(depths, jnp.float32),
+                                   self._sharding)
+        (self.state, d, w, self.dirty, self.esdf_dirty) = self._routed(
+            self.state, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
+            depths_sh, jnp.asarray(T_L_Cs, jnp.float32),
+            jnp.asarray(flags, jnp.int32))
+        self.channels["tsdf_distance"] = d
+        self.channels["tsdf_weight"] = w
+
+    def _build_routed(self):
+        c = self.config
+        camera = self.camera
+        p = self.params.projective
+        vs = c.voxel_size_m
+        n = c.n_shards
+        # Ring: shard s passes its current frame to s-1 (so after k hops
+        # shard s holds the frame that STARTED at shard (s + k) mod n).
+        ring = [(s, (s - 1) % n) for s in range(n)]
+
+        def local(state, distance, weight, dirty, edirty, my_depth, poses,
+                  flags):
+            state = jax.tree.map(lambda x: x[0], state)
+            distance, weight = distance[0], weight[0]
+            dirty, edirty = dirty[0], edirty[0]
+            idx = jax.lax.axis_index("space")
+            cur = my_depth[0]                          # [H, W]
+            for k in range(n):
+                frame_id = jax.lax.rem(idx + k, n)
+                T = poses[frame_id]
+                flag = flags[frame_id, idx]
+
+                def run(args):
+                    st, d, w, dt, et = args
+                    grid, origin = view_ops.touched_block_grid(
+                        cur, T, camera=camera, voxel_size_m=vs,
+                        max_distance_m=p.max_integration_distance_m,
+                        truncation_m=p.truncation_m(vs), subsample=1)
+                    st, slots, bidx, n_valid = wg.allocate_and_batch(
+                        st, grid, origin,
+                        max_blocks=c.max_blocks_per_frame)
+
+                    def fuse(args):
+                        d, w, dt, et = args
+                        d, w = integrate_tsdf(
+                            d, w, slots, bidx, cur, T, camera=camera,
+                            voxel_size_m=vs, params=p)
+                        dt = dt.at[slots].set(True, mode="drop")
+                        et = et.at[slots].set(True, mode="drop")
+                        return d, w, dt, et
+
+                    d, w, dt, et = jax.lax.cond(
+                        n_valid > 0, fuse, lambda a: a, (d, w, dt, et))
+                    return st, d, w, dt, et
+
+                state, distance, weight, dirty, edirty = jax.lax.cond(
+                    flag > 0, run, lambda a: a,
+                    (state, distance, weight, dirty, edirty))
+                if k < n - 1:
+                    cur = jax.lax.ppermute(cur, "space", ring)
+            return (jax.tree.map(lambda x: x[None], state),
+                    distance[None], weight[None], dirty[None],
+                    edirty[None])
+
+        spec = P("space")
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: spec, self.state),
+                      spec, spec, spec, spec, spec, P(), P()),
+            out_specs=(jax.tree.map(lambda _: spec, self.state),
+                       spec, spec, spec, spec))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
 
     # ---------------------------------------------------------- freespace
     def _build_freespace(self):

@@ -493,3 +493,68 @@ def test_sharded_dynamic_tick():
     assert mask_np.sum() > 10         # intruder pixels detected
     lo = np.asarray(sharded.channels["occupancy_log_odds"])
     assert (lo > 0).sum() > 10        # foreground occupancy integrated
+
+
+def test_routed_frames_match_broadcast():
+    """Ring-routed multi-camera ingestion (one frame uploaded per shard,
+    n-1 ppermute hops) must produce the identical map to broadcasting
+    every frame (SURVEY §5.8 all_to_all frame fan-out)."""
+    mesh = make_spatial_mesh(8)
+    cfg = ShardedMapperConfig(
+        n_shards=8, global_dims=(64, 32, 16), origin_block=(-32, -16, -4),
+        capacity_per_shard=1024, voxel_size_m=VOXEL,
+        max_blocks_per_frame=1024)
+    from isaac_ros_nvblox_tpu.ops.tsdf import TsdfIntegratorParams
+    params = MapperParams(
+        projective=TsdfIntegratorParams(max_integration_distance_m=2.5))
+    routed = ShardedDeviceMapper(mesh, CAM, cfg, params)
+    bcast = ShardedDeviceMapper(mesh, CAM, cfg, params)
+    bs = VOXEL * 8
+    # One camera per tile, each looking at its own sphere.
+    prims, poses, depths = [], [], []
+    for s in range(8):
+        cx = (-32 + (s + 0.5) * 8) * bs
+        prims.append(Sphere(center=(cx, 0.0, 1.0), radius=0.5))
+    scene = Scene(primitives=tuple(prims))
+    for s in range(8):
+        cx = (-32 + (s + 0.5) * 8) * bs
+        T = orbit_pose(np.pi / 3, radius=1.5, height=1.0,
+                       target=(cx, 0, 1.0))
+        T[:3, 3] += np.asarray([cx, 0.0, 0.0])
+        poses.append(T)
+        depths.append(np.asarray(render_depth(scene, CAM, jnp.asarray(T))))
+    depths = np.stack(depths)
+    poses = np.stack(poses)
+
+    routed.integrate_frames_routed(depths, poses)
+    for f in range(8):
+        bcast.integrate_depth(depths[f], poses[f])
+
+    # The ring visits frames in a different per-shard ORDER than the
+    # broadcast loop; TSDF fusion is a weighted average, which is
+    # permutation-invariant up to float association — compare with a
+    # tight tolerance. Allocation sets must match exactly.
+    assert routed.total_owned_blocks() == bcast.total_owned_blocks()
+    st_r = jax.tree.map(np.asarray, routed.state)
+    st_b = jax.tree.map(np.asarray, bcast.state)
+    d_r = np.asarray(routed.channels["tsdf_distance"])
+    d_b = np.asarray(bcast.channels["tsdf_distance"])
+    w_r = np.asarray(routed.channels["tsdf_weight"])
+    w_b = np.asarray(bcast.channels["tsdf_weight"])
+    checked = 0
+    for s in range(8):
+        count_r = int(st_r.alloc_count[s])
+        count_b = int(st_b.alloc_count[s])
+        assert count_r == count_b, s
+        # Match slots via block index (allocation order may differ).
+        key_r = {tuple(b): i for i, b in
+                 enumerate(st_r.block_index_of_slot[s][:count_r].tolist())}
+        key_b = {tuple(b): i for i, b in
+                 enumerate(st_b.block_index_of_slot[s][:count_b].tolist())}
+        assert set(key_r) == set(key_b), s
+        for key, i in key_r.items():
+            j = key_b[key]
+            np.testing.assert_allclose(d_r[s, i], d_b[s, j], atol=1e-5)
+            np.testing.assert_allclose(w_r[s, i], w_b[s, j], atol=1e-5)
+            checked += 1
+    assert checked > 100
