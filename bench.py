@@ -165,23 +165,22 @@ def main():
                                   colors=colors_r, color_every=1))
     n_blocks = mapper.block_count()
 
-    def timed(reps=3, **kw):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _barrier(mapper.replay_frames(depths_r, poses_r, camera, **kw))
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3 / n_steps
+    def t_replay(**kw):
+        t0 = time.perf_counter()
+        _barrier(mapper.replay_frames(depths_r, poses_r, camera, **kw))
+        return time.perf_counter() - t0
 
     # Relay dispatch floor: ONE jit call through the tunneled TPU costs
-    # ~25-30 ms wall (dispatch + device->host readback RTT) regardless of
+    # ~25-60 ms wall (dispatch + device->host readback RTT) regardless of
     # work — an EMPTY 64-step scan over the same inputs measures it
     # directly. The reference's numbers are CUDA-event kernel times with
     # ZERO dispatch/host overhead (README.md "Performance": per-frame GPU
     # component times), so the floor is subtracted from the absolute
-    # tsdf_ms; all other component times are cadence DIFFERENCES of two
-    # scans, where the floor cancels by construction. Both the floor and
-    # the raw (floor-inclusive) tsdf_ms are reported.
+    # tsdf_ms. CRITICAL: the relay's speed DRIFTS on multi-second scales
+    # (observed floors 0.36-0.81 ms/step across runs), so every difference
+    # is taken PAIRWISE — base and variant run back-to-back per rep, and
+    # the reported number is the MEDIAN of per-rep differences — instead
+    # of differencing two best-of runs captured minutes apart.
     def empty_scan(ds, ps):
         def step(c, xs):
             d, T = xs
@@ -189,42 +188,56 @@ def main():
         return jax.lax.scan(step, jnp.float32(0), (ds, ps))[0]
 
     empty_j = jax.jit(empty_scan)
-    _barrier(empty_j(depths_r, poses_r))
-    floor_best = float("inf")
-    for _ in range(3):
+
+    def t_empty():
         t0 = time.perf_counter()
         _barrier(empty_j(depths_r, poses_r))
-        floor_best = min(floor_best, time.perf_counter() - t0)
-    relay_floor_ms = floor_best * 1e3 / n_steps
+        return time.perf_counter() - t0
 
-    # --- component times via cadence differencing (per frame / update). ---
-    tsdf_ms_raw = timed()
-    tsdf_ms = max(tsdf_ms_raw - relay_floor_ms, 0.0)
+    def paired(base_fn, var_fn, reps=3):
+        """Median of back-to-back (variant - base) differences, ms/step."""
+        diffs, bases = [], []
+        for _ in range(reps):
+            bases.append(base_fn())
+            diffs.append(var_fn() - bases[-1])
+        diffs.sort()
+        med = diffs[len(diffs) // 2]
+        return max(med * 1e3 / n_steps, 0.0), min(bases) * 1e3 / n_steps
+
+    t_empty()  # compile
+    # --- component times via PAIRED cadence differencing. ---
+    tsdf_ms, relay_floor_ms = paired(t_empty, t_replay)
+    tsdf_ms_raw = tsdf_ms + relay_floor_ms
     # slot_bucket=4096: the full-pool-shaped ESDF stages (sites, seeding,
     # splices) run on the pool prefix that can actually be allocated
     # (~2.2k blocks; allocation is prefix-dense) instead of the 16384-row
     # capacity; exactness asserted after timing (check_slot_bucket).
     _barrier(mapper.replay_frames(depths_r, poses_r, camera, esdf_every=1,
                                   esdf_region=region, slot_bucket=4096))
-    esdf_ms = max(timed(esdf_every=1, esdf_region=region, slot_bucket=4096)
-                  - tsdf_ms_raw, 0.0)
+    esdf_ms, _ = paired(
+        t_replay,
+        lambda: t_replay(esdf_every=1, esdf_region=region, slot_bucket=4096))
     mapper.check_slot_bucket()
     # Every-frame meshing: per-frame dirty+neighbors is ~970 blocks and
     # the crossing subset <=512 (tools/ablate_mesh.py), so the 1024/512
     # batch sizes cover every frame with zero pending backlog (verified:
     # mesh_pending empty after replay) at ~40% less static-batch cost
     # than the 2048-block default sized for mesh-every-8 cadence.
-    mesh_ms = max(timed(mesh_every=1, mesh_max_blocks=1024,
-                        mesh_surface_blocks=512) - tsdf_ms_raw, 0.0)
-    color_ms = max(timed(colors=colors_r, color_every=1) - tsdf_ms_raw, 0.0)
+    mesh_ms, _ = paired(
+        t_replay,
+        lambda: t_replay(mesh_every=1, mesh_max_blocks=1024,
+                         mesh_surface_blocks=512))
+    color_ms, _ = paired(
+        t_replay, lambda: t_replay(colors=colors_r, color_every=1))
 
     # Pipeline at the reference's operational cadence (nvblox_base.yaml:
     # depth 40 Hz, color 5 Hz, ESDF 10 Hz, mesh 5 Hz -> color/mesh every
     # 8th, ESDF every 4th).
-    t_pipe = max(timed(esdf_every=4, esdf_region=region, mesh_every=8,
-                       colors=colors_r, color_every=8) - relay_floor_ms,
-                 1e-3)
-    pipeline_fps = 1000.0 / t_pipe
+    t_pipe, _ = paired(
+        t_empty,
+        lambda: t_replay(esdf_every=4, esdf_region=region, mesh_every=8,
+                         colors=colors_r, color_every=8))
+    pipeline_fps = 1000.0 / max(t_pipe, 1e-3)
 
     # Dynamics (reference "Dynamics" row): freespace-driven detection +
     # masked background TSDF + foreground occupancy + freespace update,
@@ -265,12 +278,13 @@ def main():
     mm.static_mapper._refresh_region_from_device()
     dyn_region[0] = mm.static_mapper.esdf_region(margin_blocks=0, mult=1)
     dyn_pass()   # compile the fast-path variant
-    t_dyn = float("inf")
-    for _ in range(3):
+
+    def t_dyn_pass():
         t0 = time.perf_counter()
         dyn_pass()
-        t_dyn = min(t_dyn, time.perf_counter() - t0)
-    dynamics_ms = max(t_dyn * 1e3 / n_steps - tsdf_ms_raw, 0.0)
+        return time.perf_counter() - t0
+
+    dynamics_ms, _ = paired(t_replay, t_dyn_pass)
 
     # Incremental ESDF (the node's online path): the device cost of the
     # dirty-window re-solve (sites + banded EDT + splice) at the dims the
@@ -323,15 +337,20 @@ def main():
     incr_j = jax.jit(incr_scan)
     ks = jnp.arange(n_steps, dtype=jnp.int32)
     _barrier(incr_j(ks))
-    incr_times = []
-    for _ in range(3):
+
+    def t_incr():
         t0 = time.perf_counter()
         _barrier(incr_j(ks))
-        incr_times.append(time.perf_counter() - t0)
-    esdf_incr_ms = max(min(incr_times) * 1e3 / n_steps - relay_floor_ms,
-                       0.0)
-    # Stated noise bound (VERDICT r3 next #3): rep spread per step.
-    esdf_incr_noise_ms = ((max(incr_times) - min(incr_times)) * 1e3
+        return time.perf_counter() - t0
+
+    incr_diffs = []
+    for _ in range(3):
+        base = t_empty()
+        incr_diffs.append(t_incr() - base)
+    incr_diffs.sort()
+    esdf_incr_ms = max(incr_diffs[1] * 1e3 / n_steps, 0.0)
+    # Stated noise bound (VERDICT r3 next #3): paired-diff spread per step.
+    esdf_incr_noise_ms = ((incr_diffs[-1] - incr_diffs[0]) * 1e3
                           / n_steps)
 
     # Node tick: the online runtime end-to-end (queues + pose lookup +
@@ -430,28 +449,27 @@ def main():
                                       slot_bucket=8192))
     n_blocks_big = big_mapper.block_count()
 
-    def timed_big(reps=3, **kw):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _barrier(big_mapper.replay_frames(big_depths_r, big_poses_r,
-                                              camera, **kw))
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3 / n_steps
+    def t_big(**kw):
+        t0 = time.perf_counter()
+        _barrier(big_mapper.replay_frames(big_depths_r, big_poses_r,
+                                          camera, **kw))
+        return time.perf_counter() - t0
 
-    tsdf_ms_big_raw = timed_big()
-    tsdf_ms_big = max(tsdf_ms_big_raw - relay_floor_ms, 0.0)
-    esdf_ms_big = max(timed_big(esdf_every=1, esdf_region=big_region,
-                                slot_bucket=8192)
-                      - tsdf_ms_big_raw, 0.0)
+    # Same paired methodology as the headline components (the empty scan
+    # shares the big replay's input shapes).
+    tsdf_ms_big, _ = paired(t_empty, t_big)
+    esdf_ms_big, _ = paired(
+        t_big,
+        lambda: t_big(esdf_every=1, esdf_region=big_region,
+                      slot_bucket=8192))
     big_mapper.check_slot_bucket()
     assert int(big_mapper.state.overflow_count) == 0, "big-scene overflow"
 
     # Free the dynamic/node/big-scene device state before the accuracy
     # map: the pool channels are ~33 MB each and HBM holds every live
     # mapper at once (a full accuracy map OOMed here before the dels).
-    del mm, dyn_pass, node, node_pass, big_mapper, big_depths, big_poses
-    del big_depths_r, big_poses_r, timed_big, incr_j, incr_scan
+    del mm, dyn_pass, t_dyn_pass, node, node_pass, big_mapper, big_depths
+    del big_poses, big_depths_r, big_poses_r, t_big, incr_j, incr_scan
 
     # --- Mesh accuracy proxy: cluttered multi-room scene (untimed). ---
     # The strongest stand-in for real Replica/Redwood accuracy benchmarks

@@ -862,44 +862,83 @@ def _compact_dirty_impl(state, dirty, *, max_blocks: int, extra=None):
 
     `extra` (bool[cap], optional): slots joined into the batch WITHOUT
     neighbor expansion — the mesh path's pending-remesh rows (their own
-    data didn't change, so their neighbors need no refresh)."""
+    data didn't change, so their neighbors need no refresh).
+
+    Element-scatter budget (TPU scatters/gathers serialize ~115 M elem/s):
+    the old form scattered ALL cap cells into the dense grid and gathered
+    the expanded flag back for all cap slots (2 x 16384 elements
+    ~ 0.28 ms, tools/ablate_mesh_fixed.py). This form compacts the dirty
+    slots FIRST (cap-length sort, ~us), scatters only that bounded batch
+    into the grid, expands with 7 rolls, and reads the result back by
+    sort-compacting the DENSE grid (vectorized bitonic over world cells)
+    + a batch-sized slot_grid gather — no cap-sized element ops remain.
+    """
     cap = dirty.shape[0]
-    # Expand dirtiness to -1-side neighbors via the slot grid: a block is
-    # mesh-dirty if any of its {0,+1}^3 neighbors is dirty.
-    dims = jnp.asarray(state.slot_grid.shape, jnp.int32)
-    dirty_grid = jnp.zeros(state.slot_grid.shape, jnp.bool_)
-    cells = state.block_index_of_slot - state.origin_block
-    cells = jnp.clip(cells, 0, dims - 1)
-    dirty_grid = dirty_grid.at[cells[:, 0], cells[:, 1], cells[:, 2]].max(
-        dirty & (jnp.arange(cap) < state.alloc_count))
+    dims_t = state.slot_grid.shape
+    dims = jnp.asarray(dims_t, jnp.int32)
+    live = jnp.arange(cap) < state.alloc_count
+    big = jnp.int32(2 ** 30)
+
+    def compact_slots(mask, n_out):
+        keys = jnp.where(mask, jnp.arange(cap, dtype=jnp.int32), big)
+        keys = jax.lax.sort(keys)[:min(n_out, cap)]
+        if keys.shape[0] < n_out:
+            keys = jnp.concatenate(
+                [keys, jnp.full((n_out - keys.shape[0],), big, jnp.int32)])
+        return keys
+
+    # Stage 1: compact dirty slots, scatter only them into the grid.
+    dkeys = compact_slots(dirty & live, max_blocks)
+    d_ok = dkeys < big
+    d_idx = jnp.where(d_ok, dkeys, 0)
+    cells_d = state.block_index_of_slot[d_idx] - state.origin_block
+    ok_d = d_ok & jnp.all((cells_d >= 0) & (cells_d < dims), axis=1)
+    cells_w = jnp.where(ok_d[:, None], cells_d, dims)
+    dirty_grid = jnp.zeros(dims_t, jnp.bool_).at[
+        cells_w[:, 0], cells_w[:, 1], cells_w[:, 2]].set(True, mode="drop")
     expanded = dirty_grid
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
                 if (dx, dy, dz) == (0, 0, 0):
                     continue
-                shifted = jnp.roll(dirty_grid, shift=(-dx, -dy, -dz),
-                                   axis=(0, 1, 2))
-                expanded = expanded | shifted
-    slot_dirty = expanded[cells[:, 0], cells[:, 1], cells[:, 2]] \
-        & (jnp.arange(cap) < state.alloc_count)
+                expanded = expanded | jnp.roll(dirty_grid,
+                                               shift=(-dx, -dy, -dz),
+                                               axis=(0, 1, 2))
+    # Only allocated cells can join the batch.
+    expanded = expanded & (state.slot_grid >= 0)
     if extra is not None:
-        slot_dirty = slot_dirty | (extra
-                                   & (jnp.arange(cap) < state.alloc_count))
-    # Sort-based compaction (nonzero lowers to a serializing scatter).
-    big = jnp.int32(2 ** 30)
-    keys = jnp.where(slot_dirty, jnp.arange(cap, dtype=jnp.int32), big)
-    keys = jax.lax.sort(keys)[:min(max_blocks, cap)]
-    if keys.shape[0] < max_blocks:
-        # Small-capacity mappers (cap < max_blocks): pad with sentinels so
-        # the compacted batch keeps its static max_blocks shape.
-        keys = jnp.concatenate(
-            [keys, jnp.full((max_blocks - keys.shape[0],), big, jnp.int32)])
-    idx = jnp.where(keys < big, keys, cap - 1)
-    n = jnp.sum(slot_dirty.astype(jnp.int32))
-    lane = jnp.arange(max_blocks) < n
-    slots = jnp.where(lane, idx, cap)
-    bidx = jnp.where(lane[:, None], state.block_index_of_slot[idx], 0)
+        ekeys = compact_slots(extra & live & ~dirty, max_blocks)
+        e_ok = ekeys < big
+        e_idx = jnp.where(e_ok, ekeys, 0)
+        cells_e = state.block_index_of_slot[e_idx] - state.origin_block
+        ok_e = e_ok & jnp.all((cells_e >= 0) & (cells_e < dims), axis=1)
+        cells_we = jnp.where(ok_e[:, None], cells_e, dims)
+        expanded = expanded.at[
+            cells_we[:, 0], cells_we[:, 1], cells_we[:, 2]].set(
+            True, mode="drop")
+
+    # Stage 2: compact the expanded CELLS (dense sort — vectorized) and
+    # read their slots with one batch-sized gather.
+    M = dims_t[0] * dims_t[1] * dims_t[2]
+    flat = expanded.reshape(-1)
+    ckeys = jnp.where(flat, jnp.arange(M, dtype=jnp.int32), big)
+    ckeys = jax.lax.sort(ckeys)[:min(max_blocks, M)]
+    if ckeys.shape[0] < max_blocks:
+        ckeys = jnp.concatenate(
+            [ckeys, jnp.full((max_blocks - ckeys.shape[0],), big,
+                             jnp.int32)])
+    n = jnp.sum(flat.astype(jnp.int32))
+    lane = jnp.arange(max_blocks) < jnp.minimum(n, max_blocks)
+    cidx = jnp.where(lane, jnp.where(ckeys < big, ckeys, 0), 0)
+    cx = cidx // (dims_t[1] * dims_t[2])
+    cy = (cidx // dims_t[2]) % dims_t[1]
+    cz = cidx % dims_t[2]
+    slot = state.slot_grid[cx, cy, cz]
+    slots = jnp.where(lane & (slot >= 0), slot, cap)
+    bidx = jnp.where(lane[:, None],
+                     jnp.stack([cx, cy, cz], -1) + state.origin_block, 0)
+    bidx = jnp.where((slots < cap)[:, None], bidx, 0)
     return slots, bidx
 
 
