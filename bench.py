@@ -264,7 +264,8 @@ def main():
                             jnp.float32)
         dyn_t0[0] += 25.0 * n_steps
         mm.replay_frames_dynamic(depths_r, poses_r, times, camera,
-                                 region=dyn_region[0])
+                                 region=dyn_region[0],
+                                 slot_bucket=4096 if dyn_region[0] else 0)
         # One readback only: each extra device->host scalar costs ~30 ms
         # through the relay (~0.5 ms/step at 64 steps) and would inflate
         # the differenced metric.
@@ -285,6 +286,7 @@ def main():
         return time.perf_counter() - t0
 
     dynamics_ms, _ = paired(t_replay, t_dyn_pass)
+    mm.static_mapper.check_slot_bucket()
 
     # Incremental ESDF (the node's online path): the device cost of the
     # dirty-window re-solve (sites + banded EDT + splice) at the dims the

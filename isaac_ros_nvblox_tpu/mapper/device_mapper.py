@@ -383,14 +383,14 @@ def _clear_shapes_fused(state, distance, weight, dirty, esdf_dirty,
 @functools.partial(jax.jit,
                    static_argnames=("camera", "voxel_size_m", "params",
                                     "view_distance_m", "max_blocks",
-                                    "dims_b"),
+                                    "dims_b", "slot_bucket"),
                    donate_argnums=(0, 1, 2))
 def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
                      state, tsdf_distance, tsdf_weight, T_L_C,
                      time_ms, last_update_ms, origin_b=None, *,
                      camera: Camera, voxel_size_m: float, params,
                      view_distance_m: float, max_blocks: int,
-                     dims_b=None):
+                     dims_b=None, slot_bucket: int = 0):
     """Freespace state machine (+ optional 26-neighborhood occupancy
     check), one program (parity: freespace integrator,
     mapper_initialization.cpp:430-463).
@@ -412,9 +412,18 @@ def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
     if dims_b is not None:
         from isaac_ros_nvblox_tpu.core.types import Transform
         from isaac_ros_nvblox_tpu.ops.halo import dilate_occupancy_dense
-        # Per-voxel frustum test over the whole pool (fused elementwise).
+        # Slot bucket: the "full-pool" elementwise update runs on the live
+        # pool PREFIX when the caller guarantees allocation stays under
+        # `slot_bucket` (validated post-hoc via check_slot_bucket, like
+        # the in-scan ESDF) — the frustum projection + state machine over
+        # a 16384-row pool at ~2.2k live blocks was 4x wasted VPU work.
+        sb = (min(slot_bucket, cap) if slot_bucket else cap)
+        bidx_b = state.block_index_of_slot[:sb]
+        tsdf_b = tsdf_distance[:sb]
+        w_b = tsdf_weight[:sb]
+        # Per-voxel frustum test over the bucket (fused elementwise).
         lane = jnp.arange(VOXELS_PER_BLOCK, dtype=jnp.int32)[None, :]
-        bi = state.block_index_of_slot.astype(jnp.float32)
+        bi = bidx_b.astype(jnp.float32)
         wx = (bi[:, 0:1] * 8.0 + (lane // 64) + 0.5) * voxel_size_m
         wy = (bi[:, 1:2] * 8.0 + ((lane // 8) % 8) + 0.5) * voxel_size_m
         wz = (bi[:, 2:3] * 8.0 + (lane % 8) + 0.5) * voxel_size_m
@@ -429,21 +438,30 @@ def _freespace_fused(consecutive_ms, last_occupied_ms, high_confidence,
         in_view = ((pcz > 1e-6) & (pcz <= view_distance_m)
                    & (u >= 0.0) & (u <= camera.width - 1.0)
                    & (v >= 0.0) & (v <= camera.height - 1.0))
-        in_view &= wg.live_slot_mask(state)[:, None]
+        live_b = jnp.arange(sb) < state.alloc_count
+        in_view &= live_b[:, None]
         if params.check_neighborhood:
-            occ = ((tsdf_distance
+            occ = ((tsdf_b
                     < params.max_tsdf_distance_for_occupancy_m)
-                   & (tsdf_weight > 1e-6)).astype(jnp.float32)
-            occ_d = dilate_occupancy_dense(occ, state, origin_b,
-                                           dims_b=dims_b)
+                   & (w_b > 1e-6)).astype(jnp.float32)
+            occ_d = dilate_occupancy_dense(
+                occ, None, origin_b, dims_b=dims_b,
+                block_index_of_slot=bidx_b,
+                alloc_count=state.alloc_count)
             eff = jnp.where(occ_d > 0.5,
                             params.max_tsdf_distance_for_occupancy_m - 1.0,
                             1e3)
         else:
-            eff = tsdf_distance
-        return update_freespace_fullpool(
-            consecutive_ms, last_occupied_ms, high_confidence, eff,
-            tsdf_weight, in_view, time_ms, last_update_ms, params=params)
+            eff = tsdf_b
+        cons_b, last_b, hc_b = update_freespace_fullpool(
+            consecutive_ms[:sb], last_occupied_ms[:sb],
+            high_confidence[:sb], eff, w_b, in_view, time_ms,
+            last_update_ms, params=params)
+        if sb == cap:
+            return cons_b, last_b, hc_b
+        return (consecutive_ms.at[:sb].set(cons_b),
+                last_occupied_ms.at[:sb].set(last_b),
+                high_confidence.at[:sb].set(hc_b))
 
     pseudo = jnp.full((camera.height, camera.width), view_distance_m,
                       jnp.float32)

@@ -118,7 +118,7 @@ def _detect_dynamic_fused(state, high_confidence, depth, T_L_C, *,
     static_argnames=("camera", "voxel_size_m", "static_params", "occ_params",
                      "free_params", "max_blocks", "dyn_max_blocks",
                      "use_pallas", "max_depth_m", "detect_subsample",
-                     "free_dims_b"),
+                     "free_dims_b", "slot_bucket"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
                          d_state, d_ch, d_dirty, d_edirty,
@@ -128,7 +128,7 @@ def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
                          occ_params, free_params, max_blocks: int,
                          dyn_max_blocks: int, use_pallas: bool,
                          max_depth_m: float, detect_subsample: int = 1,
-                         free_dims_b=None):
+                         free_dims_b=None, slot_bucket: int = 0):
     """The WHOLE dynamic pipeline in ONE device program (lax.scan):
     freespace-driven dynamic detection -> masked static TSDF (background)
     -> masked dynamic occupancy (foreground) -> freespace update. The
@@ -175,7 +175,8 @@ def _dynamic_replay_scan(s_state, s_ch, s_dirty, s_edirty,
             camera=camera,
             voxel_size_m=voxel_size_m, params=free_params,
             view_distance_m=float(static_params.max_integration_distance_m),
-            max_blocks=max_blocks, dims_b=free_dims_b)
+            max_blocks=max_blocks, dims_b=free_dims_b,
+            slot_bucket=slot_bucket)
         sch = dict(sch, freespace_consecutive_ms=cons,
                    freespace_last_occupied_ms=last,
                    freespace_high_confidence=hc)
@@ -314,7 +315,8 @@ class MultiMapper:
             timestamps_s=timestamps_s, T_L_S_end=T_L_S_end)
 
     def replay_frames_dynamic(self, depths, T_L_Cs, times_ms,
-                              camera: Camera, region=None) -> None:
+                              camera: Camera, region=None,
+                              slot_bucket: int = 0) -> None:
         """Replay N frames through the full dynamic pipeline in ONE device
         program (detection -> masked split -> freespace); DYNAMIC mode
         only. The offline/bench analogue of integrate_depth's dynamic
@@ -357,10 +359,16 @@ class MultiMapper:
             max_depth_m=float(sm.params.projective
                               .max_integration_distance_m),
             detect_subsample=int(self.params.dynamic_detection_subsample),
-            free_dims_b=free_dims_b)
+            free_dims_b=free_dims_b, slot_bucket=int(slot_bucket))
         sm._freespace_last_update_ms = float(np.asarray(last_ms))
         sm._region_unknown = True
         dmap._region_unknown = True
+        if slot_bucket:
+            # Deferred exactness guard (same contract as bucketed ESDF
+            # replays): call sm.check_slot_bucket() after timing.
+            prev = getattr(sm, "_slot_bucket_pending", 0)
+            sm._slot_bucket_pending = (min(prev, slot_bucket) if prev
+                                       else slot_bucket)
 
     # -------------------------------------------------------------- dynamic
     def detect_dynamic(self, depth, T_L_C, camera: Camera) -> jnp.ndarray:

@@ -109,7 +109,8 @@ def gather_halo_sliced(grid_channel, neighbor_slots, *, lo: int = 1,
     return out
 
 
-def dilate_occupancy_dense(values, state, origin_b, *, dims_b, fill=0.0):
+def dilate_occupancy_dense(values, state, origin_b, *, dims_b, fill=0.0,
+                           block_index_of_slot=None, alloc_count=None):
     """3^3 box-max dilation of a pool channel over a dense block region —
     the gather-free form of the +-1-neighborhood check.
 
@@ -130,8 +131,14 @@ def dilate_occupancy_dense(values, state, origin_b, *, dims_b, fill=0.0):
     cap = values.shape[0]
     Cx, Cy, Cz = dims_b
     n_cells = Cx * Cy * Cz
-    cells = state.block_index_of_slot - origin_b[None, :]
-    live = jnp.arange(cap) < state.alloc_count
+    # `state` may be None when the caller passes a sliced prefix of the
+    # pool (slot-bucketed dynamics path): supply the matching per-slot
+    # fields directly.
+    bidx = (state.block_index_of_slot if block_index_of_slot is None
+            else block_index_of_slot)
+    n_alloc = state.alloc_count if alloc_count is None else alloc_count
+    cells = bidx - origin_b[None, :]
+    live = jnp.arange(cap) < n_alloc
     in_r = (live & (cells[:, 0] >= 0) & (cells[:, 0] < Cx)
             & (cells[:, 1] >= 0) & (cells[:, 1] < Cy)
             & (cells[:, 2] >= 0) & (cells[:, 2] < Cz))

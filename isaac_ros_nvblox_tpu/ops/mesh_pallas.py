@@ -277,10 +277,16 @@ def surface_crossing(tsdf_rows, weight_rows, nbr8, *, min_weight: float):
     w_ok = weight_rows >= jnp.float32(min_weight)
     slot_neg = jnp.any(w_ok & (tsdf_rows < 0.0), axis=1)    # [cap]
     slot_pos = jnp.any(w_ok & (tsdf_rows >= 0.0), axis=1)
+    # Pack both sign bits into one array so the (N, 8) neighbor lookup is
+    # ONE element gather instead of two (element gathers serialize at
+    # ~115 M elem/s; this halves the lookup's 2 x 8 x N elements).
+    packed = (slot_neg.astype(jnp.int32)
+              | (slot_pos.astype(jnp.int32) << 1))
     safe = jnp.clip(nbr8, 0, cap - 1).astype(jnp.int32)
     present = nbr8 >= 0
-    has_neg = jnp.any(jnp.where(present, slot_neg[safe], False), axis=1)
-    has_pos = jnp.any(jnp.where(present, slot_pos[safe], False), axis=1)
+    bits = jnp.where(present, packed[safe], 0)
+    has_neg = jnp.any((bits & 1) > 0, axis=1)
+    has_pos = jnp.any((bits & 2) > 0, axis=1)
     return has_neg & has_pos
 
 

@@ -467,3 +467,34 @@ def test_replay_slot_bucket_esdf_exact():
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         m_bad.check_slot_bucket()
+
+
+def test_freespace_slot_bucket_exact():
+    """The slot-bucketed freespace fast path (live-prefix rows only) must
+    match the full-pool update bit-for-bit (bucket >= alloc high-water)."""
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import _freespace_fused
+    m = _mapper(enable_freespace=True)
+    depth, T = _frame(_scene())
+    m.integrate_depth(depth, T, CAM)
+    origin, dims = m.esdf_region(margin_blocks=0, mult=1)
+    origin_b = jnp.asarray(origin, jnp.int32)
+    dims_b = tuple(int(d) for d in dims)
+    args = (m.channels["freespace_consecutive_ms"],
+            m.channels["freespace_last_occupied_ms"],
+            m.channels["freespace_high_confidence"])
+    kw = dict(camera=CAM, voxel_size_m=VOXEL, params=m.params.freespace,
+              view_distance_m=5.0, max_blocks=m.max_blocks_per_frame,
+              dims_b=dims_b)
+    full = _freespace_fused(
+        *(a + 0 if a.dtype != jnp.bool_ else a.copy() for a in args),
+        m.state, m.channels["tsdf_distance"], m.channels["tsdf_weight"],
+        jnp.asarray(T, jnp.float32), jnp.float32(400.0), jnp.float32(0.0),
+        origin_b, **kw)
+    assert int(m.state.alloc_count) <= 512
+    bucketed = _freespace_fused(
+        *(a + 0 if a.dtype != jnp.bool_ else a.copy() for a in args),
+        m.state, m.channels["tsdf_distance"], m.channels["tsdf_weight"],
+        jnp.asarray(T, jnp.float32), jnp.float32(400.0), jnp.float32(0.0),
+        origin_b, slot_bucket=512, **kw)
+    for f, b in zip(full, bucketed):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(b))
