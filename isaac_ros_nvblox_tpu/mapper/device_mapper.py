@@ -616,7 +616,7 @@ def _mesh_dirty_fused(state, dirty, pending, tsdf_distance, tsdf_weight,
     surf_bidx = jnp.where(lane2[:, None], bidx[rowsel], 0)
     surf_nbr8 = jnp.where(lane2[:, None], nbr8[rowsel], -1)
 
-    verts, colors = marching_cubes_fused(
+    verts_e, colors_e, mc_table = marching_cubes_fused(
         tsdf_distance, tsdf_weight, color_rows, surf_nbr8,
         (surf_slots < cap).astype(jnp.int32), min_weight=min_weight,
         with_color=with_color, interpret=interpret)
@@ -636,8 +636,8 @@ def _mesh_dirty_fused(state, dirty, pending, tsdf_distance, tsdf_weight,
     new_pending = (pending & ~batched_bits) | overflow_bits
 
     clear_rows = in_batch & ~crossing
-    return (verts, colors, surf_bidx, surf_slots, bidx, clear_rows,
-            new_dirty, new_pending)
+    return (verts_e, colors_e, mc_table, surf_bidx, surf_slots, bidx,
+            clear_rows, new_dirty, new_pending)
 
 
 @functools.partial(jax.jit, static_argnames=("voxel_size_m",))
@@ -845,18 +845,21 @@ def _replay_scan(state, channels, dirty, esdf_dirty, mesh_pending, depths,
                 st, ch, dt, pend = args
                 color_rows = ((ch["color_r"], ch["color_g"], ch["color_b"])
                               if with_color else None)
-                (verts, colors, _, _, _, _, dt_new,
+                (verts_e, colors_e, mc_table, _, _, _, _, dt_new,
                  pend_new) = _mesh_dirty_fused(
                     st, dt, pend, ch["tsdf_distance"], ch["tsdf_weight"],
                     color_rows, min_weight=mesh_min_weight,
                     max_blocks=mesh_max_blocks, with_color=with_color,
                     max_surface_blocks=mesh_surface_blocks,
                     interpret=interpret)
-                mask = verts[:, 0] >= 0  # sentinel -1 marks empty slots
-                dg = jnp.sum(jnp.where(mask[:, None], verts, 0)
-                             .astype(jnp.float32)) * jnp.float32(1e-6)
+                # DCE guard: fold every kernel output into the digest.
+                dg = (jnp.sum(mc_table[:, 0].astype(jnp.float32))
+                      * jnp.float32(1e-6)
+                      + jnp.sum(verts_e[:, 0, 0].astype(jnp.float32))
+                      * jnp.float32(1e-7))
                 if with_color:
-                    dg = dg + jnp.sum(colors[..., :1].astype(jnp.float32)
+                    dg = dg + jnp.sum(colors_e[..., 0, :1]
+                                      .astype(jnp.float32)
                                       ) * jnp.float32(1e-9)
                 return dg, dt_new, pend_new
 
@@ -1667,19 +1670,25 @@ class DeviceMapper:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
+            from isaac_ros_nvblox_tpu.ops.mesh_pallas import \
+                resolve_edge_soup
             with_color = "color_r" in self.channels
             color_rows = ((self.channels["color_r"],
                            self.channels["color_g"],
                            self.channels["color_b"])
                           if with_color else None)
-            (verts, colors, bidx, slots, clear_bidx, clear_rows,
-             new_dirty, new_pending) = _mesh_dirty_fused(
+            (verts_e, colors_e, mc_table, bidx, slots, clear_bidx,
+             clear_rows, new_dirty, new_pending) = _mesh_dirty_fused(
                 self.state, self.dirty, self.mesh_pending,
                 self.channels["tsdf_distance"],
                 self.channels["tsdf_weight"], color_rows,
                 min_weight=float(self.params.mesh.min_weight),
                 max_blocks=max_blocks, with_color=with_color,
                 interpret=jax.default_backend() != "tpu")
+            # Slot->edge resolution at this (publish) cadence — the fused
+            # kernel emits per-edge planes (see resolve_edge_soup).
+            verts, colors = resolve_edge_soup(
+                verts_e, colors_e, mc_table, with_color=with_color)
             self.dirty = new_dirty
             self.mesh_pending = new_pending
             # Batched blocks with no surface crossing: their stale mesh-

@@ -75,7 +75,8 @@ def _edge_constants():
     return ea, eb, pa, pb, TT
 
 
-def _make_kernel(with_color: bool, min_weight: float):
+def _make_kernel(with_color: bool, min_weight: float,
+                 ablate: str = ""):
     n_ch = 5 if with_color else 2
     ea, eb, pa, pb, _ = _edge_constants()
 
@@ -85,11 +86,12 @@ def _make_kernel(with_color: bool, min_weight: float):
         ch_refs = refs[2:2 + n_ch]          # (NB, 8, V) per channel
         outs = refs[2 + n_ch:]
         if with_color:
-            vout_ref, cout_ref = outs[:2]
-            table_s = outs[2]
+            vout_ref, cout_ref, tout_ref = outs[:3]
+            table_s = outs[3]
         else:
-            vout_ref = outs[0]
-            table_s = outs[1]
+            vout_ref, tout_ref = outs[:2]
+            cout_ref = None
+            table_s = outs[2]
         i = pl.program_id(0)
 
         # Whole-program skip: valid is pre-masked by the XLA surface-crossing
@@ -108,13 +110,15 @@ def _make_kernel(with_color: bool, min_weight: float):
             if with_color:
                 for c in range(3):
                     cout_ref[:, c] = jnp.zeros((NB, K_PAD, V), jnp.bfloat16)
+            tout_ref[:] = jnp.zeros((NB, K_PAD, V), jnp.bfloat16)
 
         @pl.when(nv > 0)
         def _():
             _mc_body(valid_ref, tt_ref, ch_refs, table_s, vout_ref,
-                     cout_ref if with_color else None, i)
+                     cout_ref if with_color else None, tout_ref, i)
 
-    def _mc_body(valid_ref, tt_ref, ch_refs, table_s, vout_ref, cout_ref, i):
+    def _mc_body(valid_ref, tt_ref, ch_refs, table_s, vout_ref, cout_ref,
+                 tout_ref, i):
         lane = jax.lax.broadcasted_iota(jnp.int32, (NB, V), 1)
         mx = (lane // 64) == 7
         my = ((lane // 8) % 8) == 7
@@ -216,47 +220,86 @@ def _make_kernel(with_color: bool, min_weight: float):
                     cb2 = cc[eb[e]]
                     acc.append(ca + t * (cb2 - ca))
 
-        # Edge -> slot selection: accumulate equality-masked adds over the
-        # 12 edges (exactly one nonzero term per slot).
-        slot_i = jax.lax.broadcasted_iota(jnp.int32, (NB, K_SLOTS, V), 1) \
-            .astype(jnp.float32)
-        valid_s = (cube_ok[:, None, :] & (slot_i < n_tris * 3.0)
-                   & (edges >= 0.0))                        # (NB, 15, V)
-        vx = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
-        vy = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
-        vz = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
-        if with_color:
-            cr = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
-            cg = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
-            cb = jnp.zeros((NB, K_SLOTS, V), jnp.float32)
-        for e in range(12):
-            sel = (edges == jnp.float32(e)).astype(jnp.float32)
-            vx = vx + sel * ex[e][:, None, :]
-            vy = vy + sel * ey[e][:, None, :]
-            vz = vz + sel * ez[e][:, None, :]
-            if with_color:
-                cr = cr + sel * ecr[e][:, None, :]
-                cg = cg + sel * ecg[e][:, None, :]
-                cb = cb + sel * ecb[e][:, None, :]
-
-        base_x = (lane // 64).astype(jnp.float32)[:, None, :]
-        base_y = ((lane // 8) % 8).astype(jnp.float32)[:, None, :]
-        base_z = (lane % 8).astype(jnp.float32)[:, None, :]
-        sent = jnp.float32(SENTINEL)
-        pad = jnp.full((NB, K_PAD - K_SLOTS, V), SENTINEL, jnp.float32)
-        zpad = jnp.zeros((NB, K_PAD - K_SLOTS, V), jnp.float32)
+        # Per-EDGE output planes (rows 0..11 = interpolated vertex of each
+        # cube edge; rows 12..15 sentinel pad). The slot->edge resolution
+        # — a 12-edge x 6-channel equality-masked accumulation over
+        # (NB, 15, V) that measured 65% of this kernel's time
+        # (tools/ablate_mesh_fixed.py "noselect") — moved OUT of the
+        # per-frame kernel to resolve_edge_soup at publish cadence,
+        # mirroring the reference's integration/serialization split
+        # (updateColorMesh computes vertices; serializeSelectedLayers lays
+        # out the soup). The config table ships as a third output.
+        base_x = (lane // 64).astype(jnp.float32)
+        base_y = ((lane // 8) % 8).astype(jnp.float32)
+        base_z = (lane % 8).astype(jnp.float32)
+        sent_pad = jnp.full((NB, K_PAD - 12, V), SENTINEL, jnp.float32)
+        zero_pad = jnp.zeros((NB, K_PAD - 12, V), jnp.float32)
         for c, (comp, base) in enumerate(
-                ((vx, base_x), (vy, base_y), (vz, base_z))):
-            rows = jnp.where(valid_s, comp + base + 0.5, sent)
-            vout_ref[:, c] = jnp.concatenate([rows, pad], axis=1) \
+                ((ex, base_x), (ey, base_y), (ez, base_z))):
+            rows = jnp.stack([comp[e] + base + 0.5 for e in range(12)],
+                             axis=1)                       # (NB, 12, V)
+            vout_ref[:, c] = jnp.concatenate([rows, sent_pad], axis=1) \
                 .astype(jnp.bfloat16)
         if with_color:
-            for c, comp in enumerate((cr, cg, cb)):
-                rows = jnp.where(valid_s, comp, 0.0)
-                cout_ref[:, c] = jnp.concatenate([rows, zpad], axis=1) \
+            for c, comp in enumerate((ecr, ecg, ecb)):
+                rows = jnp.stack([comp[e] for e in range(12)], axis=1)
+                cout_ref[:, c] = jnp.concatenate([rows, zero_pad], axis=1) \
                     .astype(jnp.bfloat16)
+        # Fold cube_ok into the triangle counts so the resolver (and any
+        # downstream consumer) sees 0 triangles for unobserved cubes.
+        counts = jnp.where(cube_ok[:, None, :], table[:, 0:1, :], 0.0)
+        tout_ref[:] = jnp.concatenate([counts, table[:, 1:16, :]],
+                                      axis=1).astype(jnp.bfloat16)
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("with_color",))
+def resolve_edge_soup(verts_e, colors_e, table, *, with_color: bool = True):
+    """Per-edge vertex planes + config table -> slot-indexed triangle soup.
+
+    The fused MC kernel emits one interpolated vertex per cube EDGE
+    (bf16 [N, 3, 16, 512], rows 0..11) plus the per-voxel config table
+    (bf16 [N, 16, 512]: row 0 = triangle count, rows 1..15 = edge id per
+    slot). This XLA step lays the soup out slot-indexed — the layout the
+    publish path and the native CSR compaction consume — and runs at
+    PUBLISH cadence, not per integrated frame (reference parity: mesh
+    serialization is a separate step from GPU mesh integration,
+    layer_publishing.cpp:675-826).
+
+    Returns (verts bf16 [N, 3, 16, 512], colors bf16|None) with SENTINEL
+    marking empty slots, identical to the pre-round-4 kernel output.
+    """
+    f32 = jnp.float32
+    N = table.shape[0]
+    n_tris = table[:, 0:1, :].astype(f32)          # (N, 1, V)
+    edges = table[:, 1:16, :].astype(f32)          # (N, 15, V)
+    slot_i = jax.lax.broadcasted_iota(f32, (N, K_SLOTS, V), 1)
+    valid_s = (slot_i < n_tris * 3.0) & (edges >= 0.0)
+    ve = verts_e.astype(f32)
+    ce = colors_e.astype(f32) if with_color else None
+    acc = [jnp.zeros((N, K_SLOTS, V), f32) for _ in range(3)]
+    cacc = ([jnp.zeros((N, K_SLOTS, V), f32) for _ in range(3)]
+            if with_color else None)
+    for e in range(12):
+        sel = (edges == f32(e)).astype(f32)
+        for c in range(3):
+            acc[c] = acc[c] + sel * ve[:, c, e][:, None, :]
+            if with_color:
+                cacc[c] = cacc[c] + sel * ce[:, c, e][:, None, :]
+    sent_pad = jnp.full((N, K_PAD - K_SLOTS, V), SENTINEL, f32)
+    zero_pad = jnp.zeros((N, K_PAD - K_SLOTS, V), f32)
+    verts = jnp.stack(
+        [jnp.concatenate(
+            [jnp.where(valid_s, acc[c], jnp.float32(SENTINEL)), sent_pad],
+            axis=1) for c in range(3)], axis=1).astype(jnp.bfloat16)
+    if not with_color:
+        return verts, None
+    colors = jnp.stack(
+        [jnp.concatenate([jnp.where(valid_s, cacc[c], 0.0), zero_pad],
+                         axis=1) for c in range(3)],
+        axis=1).astype(jnp.bfloat16)
+    return verts, colors
 
 
 @functools.partial(jax.jit, static_argnames=("min_weight",))
@@ -291,10 +334,11 @@ def surface_crossing(tsdf_rows, weight_rows, nbr8, *, min_weight: float):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("min_weight", "with_color", "interpret"))
+                   static_argnames=("min_weight", "with_color", "interpret",
+                                    "ablate"))
 def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
                          min_weight: float, with_color: bool,
-                         interpret: bool = False
+                         interpret: bool = False, ablate: str = ""
                          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Marching cubes over pool rows with in-kernel +1 halo.
 
@@ -306,9 +350,12 @@ def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
       valid: i32[N] (0 = padding block).
 
     Returns:
-      verts:  bf16[N, 3, 16, 512] block-LOCAL voxel coords; empty slots
-              carry SENTINEL (-1) in all three components.
-      colors: bf16[N, 3, 16, 512] per-vertex RGB (0-255), or None.
+      verts_e: bf16[N, 3, 16, 512] block-LOCAL voxel coords of the
+              interpolated vertex on each cube EDGE (rows 0..11; pad rows
+              SENTINEL). Feed resolve_edge_soup for slot-indexed soup.
+      colors_e: bf16[N, 3, 16, 512] per-edge RGB (0-255), or None.
+      table:  bf16[N, 16, 512] per-voxel MC config (row 0 = triangle
+              count, rows 1..15 = edge id per triangle-corner slot).
     """
     cap = tsdf_rows.shape[0]
     N_orig = N = nbr8.shape[0]
@@ -365,6 +412,11 @@ def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
     if with_color:
         out_specs = out_specs * 2
         out_shape = out_shape * 2
+    # Config-table output (row 0 = triangle counts, 1..15 = edge ids).
+    out_specs = out_specs + [pl.BlockSpec((NB, K_PAD, V), _blk,
+                                          memory_space=pltpu.VMEM)]
+    out_shape = out_shape + [jax.ShapeDtypeStruct((N, K_PAD, V),
+                                                  jnp.bfloat16)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # valid
@@ -373,17 +425,19 @@ def marching_cubes_fused(tsdf_rows, weight_rows, color_rows, nbr8, valid, *,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((NB, K_PAD, V), jnp.float32)],  # table
     )
-    kernel = _make_kernel(with_color, float(min_weight))
+    kernel = _make_kernel(with_color, float(min_weight),
+                          ablate=ablate)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(valid.astype(jnp.int32), *inputs)
-    verts = outs[0][:N_orig]
+    verts_e = outs[0][:N_orig]
+    table = outs[-1][:N_orig]
     if with_color:
-        return verts, outs[1][:N_orig]
-    return verts, None
+        return verts_e, outs[1][:N_orig], table
+    return verts_e, None, table
 
 
 def local_to_world_verts(verts_local, block_indices, voxel_size_m: float):

@@ -377,8 +377,8 @@ def test_mesh_surface_budget_overflow_stays_dirty():
 
     zeros = jnp2.zeros_like(m.dirty)
     # Single shot with a huge budget: the full crossing set.
-    v, _, bidx_all, slots_all, _, _, leftover, pend = run(m.dirty, zeros,
-                                                          256)
+    (v, _, _, bidx_all, slots_all, _, _, leftover,
+     pend) = run(m.dirty, zeros, 256)
     full = {tuple(map(int, b)) for b, s in
             zip(np.asarray(bidx_all), np.asarray(slots_all))
             if s < m.capacity}
@@ -391,7 +391,8 @@ def test_mesh_surface_budget_overflow_stays_dirty():
     seen = set()
     dirty, pending = m.dirty, zeros
     for it in range(60):
-        v, _, bidx, slots, _, _, dirty, pending = run(dirty, pending, 8)
+        (v, _, _, bidx, slots, _, _, dirty,
+         pending) = run(dirty, pending, 8)
         keys = {tuple(map(int, b)) for b, s in
                 zip(np.asarray(bidx), np.asarray(slots)) if s < m.capacity}
         assert len(keys) <= 8

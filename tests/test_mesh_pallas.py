@@ -56,10 +56,13 @@ def test_fused_mc_matches_xla_triangles():
         voxel_size_m=VOXEL, min_weight=1e-4)
 
     nbr8 = nbrs[:, jnp.asarray(NEIGHBOR_COLS)]
-    verts, vcols = marching_cubes_fused(
+    from isaac_ros_nvblox_tpu.ops.mesh_pallas import resolve_edge_soup
+    verts_e, colors_e, mc_table = marching_cubes_fused(
         pool["tsdf_distance"], pool["tsdf_weight"], tuple(colors), nbr8,
         jnp.ones((len(slots),), jnp.int32), min_weight=1e-4,
         with_color=True, interpret=INTERP)
+    verts, vcols = resolve_edge_soup(verts_e, colors_e, mc_table,
+                                     with_color=True)
 
     # Reference soup -> per-slot layout matching the kernel's.
     v_ref = np.asarray(v_ref)           # [N,512,5,3,3] world meters
@@ -99,10 +102,13 @@ def test_fused_mc_absent_neighbors_suppress_edge_cubes():
     s0 = slots[len(slots) // 2]
     nbr8 = np.full((1, 8), -1, np.int32)
     nbr8[0, 0] = s0
-    verts, _ = marching_cubes_fused(
+    from isaac_ros_nvblox_tpu.ops.mesh_pallas import resolve_edge_soup
+    verts_e, _, mc_table = marching_cubes_fused(
         pool["tsdf_distance"], pool["tsdf_weight"], None,
         jnp.asarray(nbr8), jnp.ones((1,), jnp.int32), min_weight=1e-4,
         with_color=False, interpret=INTERP)
+    verts, _ = resolve_edge_soup(verts_e, None, mc_table,
+                                 with_color=False)
     verts = np.asarray(verts.astype(jnp.float32))  # [1,3,16,512]
     mask = verts[0, 0] >= 0                        # [16,512]
     lanes = np.arange(512)

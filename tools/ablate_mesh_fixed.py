@@ -111,7 +111,7 @@ def main():
         valid = jnp.zeros((MS,), jnp.int32)
 
         def step(c, k):
-            v, col = marching_cubes_fused(
+            v, col, tab = marching_cubes_fused(
                 d_ch, w_ch, color_rows, nbr8, valid + 0 * k,
                 min_weight=1e-4, with_color=True, interpret=False)
             return jnp.minimum(c, v[0, 0, 0, 0].astype(jnp.float32)), ()
@@ -124,7 +124,7 @@ def main():
         valid = (slots < cap).astype(jnp.int32)
 
         def step(c, k):
-            v, col = marching_cubes_fused(
+            v, col, tab = marching_cubes_fused(
                 d_ch + 0.0 * k.astype(jnp.float32), w_ch, color_rows, nbr8,
                 valid, min_weight=1e-4, with_color=True, interpret=False)
             return jnp.minimum(c, v[0, 0, 0, 0].astype(jnp.float32)), ()
@@ -135,6 +135,22 @@ def main():
     timed("compact+nbr8+crossing", crossing_only)
     timed("mc kernel all-sentinel (ms=512)", kernel_sentinel)
     timed("mc kernel live 512 blocks", kernel_live)
+
+    def kernel_live_ablate(ks, ablate="noselect"):
+        slots, bidx, _ = wg.allocated_batch_range(state, start=0,
+                                                  max_blocks=MS)
+        nbr8 = wg.neighbor_slots8_of(state, bidx)
+        valid = (slots < cap).astype(jnp.int32)
+
+        def step(c, k):
+            v, col, tab = marching_cubes_fused(
+                d_ch + 0.0 * k.astype(jnp.float32), w_ch, color_rows, nbr8,
+                valid, min_weight=1e-4, with_color=True, interpret=False,
+                ablate=ablate)
+            return jnp.minimum(c, v[0, 0, 0, 0].astype(jnp.float32)), ()
+        return jax.lax.scan(step, jnp.float32(1e9), ks)[0]
+
+    timed("mc kernel live noselect", kernel_live_ablate)
 
 
 if __name__ == "__main__":
