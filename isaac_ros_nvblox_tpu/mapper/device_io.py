@@ -264,9 +264,15 @@ def update_mesh_layer(m, max_blocks: int = 2048) -> List[Tuple[int, int, int]]:
         # re-serialized list below for the voxel-layer publishers; the
         # mesh streamer filters them out via `& current`.
         cleared = m.take_mesh_clear_keys()
-        for key in cleared:
-            m.mesh_layer.blocks.pop(key, None)
+        # The clear log ACCUMULATES across fused mesh updates between
+        # publishes; a stale no-crossing entry from an earlier update must
+        # not pop a block that re-gained a crossing and was serialized in
+        # THIS drain (within one update the clear set is disjoint from the
+        # meshed set, so only stale cross-update entries are skipped).
         meshed_set = set(meshed)
+        for key in cleared:
+            if key not in meshed_set:
+                m.mesh_layer.blocks.pop(key, None)
         meshed.extend(k for k in cleared if k not in meshed_set)
     else:
         # CPU backend: the XLA marching-cubes path (interpret-mode Pallas

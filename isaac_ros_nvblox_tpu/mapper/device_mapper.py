@@ -1752,9 +1752,12 @@ class DeviceMapper:
     def update_mesh_device(self, chunk: int = 2048):
         """Run marching cubes over all allocated blocks on device.
 
-        Yields (verts, colors, valid, bidx) chunk results LAZILY as device
-        arrays (a full map's eager list is GBs of triangle-soup buffers;
-        consumers reduce or drain each chunk before the next is built).
+        Returns a generator of (verts, colors, valid, bidx) chunk results,
+        built LAZILY as device arrays (a full map's eager list is GBs of
+        triangle-soup buffers; consumers reduce or drain each chunk before
+        the next is built). The dirty/pending bookkeeping is cleared
+        EAGERLY here — before the first chunk is requested — so a caller
+        that abandons the generator still leaves consistent state.
         No host compaction — see export_mesh.
         """
         # Iterate to the slot high-water mark: freed slots are inert (zero
@@ -1762,6 +1765,9 @@ class DeviceMapper:
         count = int(self.state.alloc_count)
         self.dirty = self.dirty.at[:].set(False)
         self.mesh_pending = jnp.zeros_like(self.mesh_pending)
+        return self._mesh_chunks_lazy(count, chunk)
+
+    def _mesh_chunks_lazy(self, count: int, chunk: int):
         for start in range(0, max(count, 1), chunk):
             n = min(chunk, self.capacity)
             slots, bidx, _ = wg.allocated_batch_range(

@@ -955,8 +955,9 @@ class ShardedDeviceMapper:
         c = self.config
         camera = self.camera
         vs = c.voxel_size_m
-        max_depth = float(self.params.dynamic_max_depth_m) \
-            if hasattr(self.params, "dynamic_max_depth_m") else 4.0
+        # Match the single-device parity path (multi_mapper dynamic replay
+        # uses the projective integration range, not a hardcoded 4 m).
+        max_depth = float(self.params.projective.max_integration_distance_m)
         sub = 2
 
         def local(state, hic, depth, T_L_C):

@@ -94,18 +94,17 @@ def _active_chunk_frac(is_site_np, cells_np, n, dims_b, band):
     is occupied. This is the quantity that replaced the per-program line
     flag (r3: xpass_occupied_program_frac was 1.0 on all rooms — every
     program held SOME site; chunks inside occupied lines still skip)."""
-    from isaac_ros_nvblox_tpu.ops.esdf_dense import (_NL, halo_blocks,
-                                                     line_rows)
+    from isaac_ros_nvblox_tpu.ops.esdf_dense import _NL, line_rows
     Nx, Ny, Nz = dims_b
     Sp = line_rows(Nx, band)
-    Hb = halo_blocks(band)
-    A = band // 8
+    # Lean layout (r4): lines start at local row 0 (esdf_dense._row_of_cell)
+    A = (band + 7) // 8  # mirrors the kernel's ceil-div candidate reach
     has = is_site_np[:n].any(axis=1)
     occ = np.zeros((Ny * Nz, Sp), bool)
     for s in range(n):
         if has[s]:
             line = cells_np[s, 1] * Nz + cells_np[s, 2]
-            occ[line, Hb + cells_np[s, 0]] = True
+            occ[line, cells_np[s, 0]] = True
     n_lines_pad = ((Ny * Nz + _NL - 1) // _NL) * _NL
     rows = np.zeros(n_lines_pad * Sp, bool)
     rows[:Ny * Nz * Sp] = occ.reshape(-1)
