@@ -640,6 +640,106 @@ def _mesh_dirty_fused(state, dirty, pending, tsdf_distance, tsdf_weight,
             clear_rows, new_dirty, new_pending)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("camera", "voxel_size_m", "params",
+                                    "esdf_statics", "max_blocks",
+                                    "use_pallas", "view_params", "dims_b",
+                                    "band", "interp"),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def _integrate_frame_esdf2d_fused(state, distance, weight, dirty, esdf_dirty,
+                                  depth, T_L_C, origin_b, min_h, max_h, *,
+                                  camera: Camera, voxel_size_m: float,
+                                  params, esdf_statics, max_blocks: int,
+                                  use_pallas: bool, view_params,
+                                  dims_b, band: int, interp: bool):
+    """One-dispatch online tick: depth integration + the 2D-ESDF solve.
+
+    The relay's per-dispatch turnaround (~4-8 ms wall) dominates the
+    online tick (tools/profile_node_tick.py: only ~1 ms of device work,
+    the rest dispatch count x relay RTT), so on ESDF-cadence ticks the
+    whole solve — sites, height-band mask, 2-pass planar EDT, inside/
+    observed collapses — runs inside the SAME program as the frame
+    integration (parity: the reference's tick also integrates then
+    updates the ESDF, nvblox_node.cpp:582-678, with zero inter-kernel
+    host latency on CUDA)."""
+    from isaac_ros_nvblox_tpu.ops.esdf_dense import (collapse_2d_mask,
+                                                     esdf_2d_from_sites)
+    grid, origin = view_ops.touched_block_grid(
+        depth, T_L_C, camera=camera, voxel_size_m=voxel_size_m,
+        max_distance_m=params.max_integration_distance_m,
+        truncation_m=params.truncation_m(voxel_size_m), subsample=1)
+    if view_params is not None:
+        grid = view_ops.apply_workspace_bounds_to_grid(
+            grid, origin, voxel_size_m=voxel_size_m, params=view_params)
+    state, slots, bidx, _ = wg.allocate_and_batch(
+        state, grid, origin, max_blocks=max_blocks)
+    if use_pallas:
+        from isaac_ros_nvblox_tpu.ops.tsdf_pallas import integrate_tsdf_pallas
+        distance, weight = integrate_tsdf_pallas(
+            distance, weight, slots, bidx, depth, T_L_C, camera=camera,
+            voxel_size_m=voxel_size_m, params=params)
+    else:
+        distance, weight = integrate_tsdf(
+            distance, weight, slots, bidx, depth, T_L_C, camera=camera,
+            voxel_size_m=voxel_size_m, params=params)
+    dirty = dirty.at[slots].set(True, mode="drop")
+    esdf_dirty = esdf_dirty.at[slots].set(True, mode="drop")
+
+    max_site_distance_vox, min_weight = esdf_statics
+    is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+        distance, weight, voxel_size_m=jnp.float32(voxel_size_m),
+        max_site_distance_vox=max_site_distance_vox, min_weight=min_weight)
+    z_ok = _voxel_z_band_mask(state, min_h, max_h,
+                              voxel_size_m=voxel_size_m)
+    sq2d = esdf_2d_from_sites(
+        is_site, z_ok, state.block_index_of_slot, state.alloc_count,
+        origin_b, dims_b=dims_b, band=band, interpret=interp)
+    inside2d = collapse_2d_mask(
+        is_inside, z_ok, state.block_index_of_slot, state.alloc_count,
+        origin_b, dims_b=dims_b)
+    observed2d = collapse_2d_mask(
+        observed, z_ok, state.block_index_of_slot, state.alloc_count,
+        origin_b, dims_b=dims_b)
+    return (state, distance, weight, dirty, esdf_dirty, sq2d, inside2d,
+            observed2d)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("voxel_size_m", "esdf_statics",
+                                    "is_occupancy", "dims_b", "band",
+                                    "interp"))
+def _esdf2d_solve_fused(state, chan_a, chan_b, origin_b, min_h, max_h, *,
+                        voxel_size_m: float, esdf_statics,
+                        is_occupancy: bool, dims_b, band: int, interp: bool):
+    """Standalone 2D-ESDF solve as ONE dispatch (sites + z mask + 2-pass
+    EDT + the inside/observed collapses; the eager path previously cost
+    5 dispatches x the relay's ~4 ms turnaround)."""
+    from isaac_ros_nvblox_tpu.ops.esdf_dense import (collapse_2d_mask,
+                                                     esdf_2d_from_sites)
+    if is_occupancy:
+        thr, = esdf_statics
+        is_site, is_inside, observed = esdf_ops.esdf_sites_from_occupancy(
+            chan_a, chan_b > 0, occupied_log_odds_threshold=thr)
+    else:
+        max_site_distance_vox, min_weight = esdf_statics
+        is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
+            chan_a, chan_b, voxel_size_m=jnp.float32(voxel_size_m),
+            max_site_distance_vox=max_site_distance_vox,
+            min_weight=min_weight)
+    z_ok = _voxel_z_band_mask(state, min_h, max_h,
+                              voxel_size_m=voxel_size_m)
+    sq2d = esdf_2d_from_sites(
+        is_site, z_ok, state.block_index_of_slot, state.alloc_count,
+        origin_b, dims_b=dims_b, band=band, interpret=interp)
+    inside2d = collapse_2d_mask(
+        is_inside, z_ok, state.block_index_of_slot, state.alloc_count,
+        origin_b, dims_b=dims_b)
+    observed2d = collapse_2d_mask(
+        observed, z_ok, state.block_index_of_slot, state.alloc_count,
+        origin_b, dims_b=dims_b)
+    return sq2d, inside2d, observed2d
+
+
 @functools.partial(jax.jit, static_argnames=("voxel_size_m",))
 def _voxel_z_band_mask(state, min_height_m, max_height_m, *,
                        voxel_size_m: float):
@@ -1483,43 +1583,83 @@ class DeviceMapper:
             full = self._esdf2d_frame != frame
         if not full and self._dirty2d_lo is None:
             return  # nothing changed since the last 2D solve
-        if self._is_occupancy:
-            is_site, is_inside, observed = esdf_ops.esdf_sites_from_occupancy(
-                self.channels["occupancy_log_odds"],
-                self.channels["occupancy_observed"] > 0,
-                occupied_log_odds_threshold=float(
-                    ep.occupied_log_odds_threshold))
-        else:
-            is_site, is_inside, observed = esdf_ops.esdf_sites_from_tsdf(
-                self.channels["tsdf_distance"], self.channels["tsdf_weight"],
-                voxel_size_m=jnp.float32(self.voxel_size_m),
-                max_site_distance_vox=float(ep.max_site_distance_vox),
-                min_weight=float(ep.min_weight))
-        z_ok = _voxel_z_band_mask(
-            self.state, jnp.float32(min_height_m),
-            jnp.float32(max_height_m), voxel_size_m=self.voxel_size_m)
         interp = jax.default_backend() != "tpu"
-
-        r_lo = np.asarray([a_lo[0], a_lo[1]], np.int64)
         dims_b = dims_full
-
-        origin = jnp.asarray([r_lo[0], r_lo[1], 0], jnp.int32)
-        sq2d = esdf_2d_from_sites(
-            is_site, z_ok, self.state.block_index_of_slot,
-            self.state.alloc_count, origin, dims_b=dims_b, band=band,
-            interpret=interp)
-        inside2d = collapse_2d_mask(
-            is_inside, z_ok, self.state.block_index_of_slot,
-            self.state.alloc_count, origin, dims_b=dims_b)
-        observed2d = collapse_2d_mask(
-            observed, z_ok, self.state.block_index_of_slot,
-            self.state.alloc_count, origin, dims_b=dims_b)
+        origin = jnp.asarray([int(a_lo[0]), int(a_lo[1]), 0], jnp.int32)
+        if self._is_occupancy:
+            chan_a = self.channels["occupancy_log_odds"]
+            chan_b = self.channels["occupancy_observed"]
+            statics = (float(ep.occupied_log_odds_threshold),)
+        else:
+            chan_a = self.channels["tsdf_distance"]
+            chan_b = self.channels["tsdf_weight"]
+            statics = (float(ep.max_site_distance_vox),
+                       float(ep.min_weight))
+        sq2d, inside2d, observed2d = _esdf2d_solve_fused(
+            self.state, chan_a, chan_b, origin,
+            jnp.float32(min_height_m), jnp.float32(max_height_m),
+            voxel_size_m=self.voxel_size_m, esdf_statics=statics,
+            is_occupancy=self._is_occupancy, dims_b=dims_b, band=band,
+            interp=interp)
         self.esdf_2d = ((int(a_lo[0]), int(a_lo[1])), sq2d, inside2d,
                         observed2d)
         self.esdf_2d_frame_heights = (float(min_height_m),
                                       float(max_height_m))
         self._esdf2d_frame = frame
         self._dirty2d_lo = self._dirty2d_hi = None
+
+    def integrate_depth_with_esdf2d(self, depth, T_L_C, camera: Camera,
+                                    min_height_m: float,
+                                    max_height_m: float) -> bool:
+        """Fused online tick: integrate one depth frame AND run the 2D-ESDF
+        solve in a single device dispatch (the relay's per-dispatch
+        turnaround dominates the node tick). Returns True when the fused
+        path ran; False = caller must fall back to integrate_depth() +
+        update_esdf_2d() (occupancy layer, unknown region, or a device-
+        array pose)."""
+        if self._is_occupancy or isinstance(T_L_C, jax.Array):
+            return False
+        if self._region_unknown and not self._refresh_region_from_device():
+            return False
+        # Pre-extend the tracked AABB with this frame's frustum so the
+        # solve frame covers blocks the fused call itself allocates.
+        self._touch_region(np.asarray(T_L_C), camera)
+        if self._aabb_lo is None:
+            return False
+        ep = self.params.esdf
+        band = self.esdf_band_vox
+        a_lo, a_hi = self._aabb_lo, self._aabb_hi
+        dims_b = (_bucket_blocks_coarse(int(a_hi[0] - a_lo[0] + 1)),
+                  _bucket_blocks_coarse(int(a_hi[1] - a_lo[1] + 1)))
+        use_pallas = (jax.default_backend() == "tpu"
+                      if self.use_pallas_integrate is None
+                      else self.use_pallas_integrate)
+        origin = jnp.asarray([int(a_lo[0]), int(a_lo[1]), 0], jnp.int32)
+        (self.state, d, w, self.dirty, self.esdf_dirty, sq2d, inside2d,
+         observed2d) = _integrate_frame_esdf2d_fused(
+            self.state, self.channels["tsdf_distance"],
+            self.channels["tsdf_weight"], self.dirty, self.esdf_dirty,
+            jnp.asarray(depth, jnp.float32), jnp.asarray(T_L_C, jnp.float32),
+            origin, jnp.float32(min_height_m), jnp.float32(max_height_m),
+            camera=camera, voxel_size_m=self.voxel_size_m,
+            params=self.params.projective,
+            esdf_statics=(float(ep.max_site_distance_vox),
+                          float(ep.min_weight)),
+            max_blocks=self.max_blocks_per_frame, use_pallas=use_pallas,
+            view_params=self._view_bounds(), dims_b=dims_b, band=band,
+            interp=jax.default_backend() != "tpu")
+        self.channels["tsdf_distance"] = d
+        self.channels["tsdf_weight"] = w
+        self.last_depth_T_L_C = jnp.asarray(T_L_C, jnp.float32)
+        self.last_depth_camera = camera
+        self.esdf_2d = ((int(a_lo[0]), int(a_lo[1])), sq2d, inside2d,
+                        observed2d)
+        self.esdf_2d_frame_heights = (float(min_height_m),
+                                      float(max_height_m))
+        self._esdf2d_frame = (int(a_lo[0]), int(a_lo[1]), dims_b,
+                              float(min_height_m), float(max_height_m))
+        self._dirty2d_lo = self._dirty2d_hi = None
+        return True
 
     # --------------------------------------------------------------- replay
     def esdf_region(self, margin_blocks: int = 2, mult: int = 4):

@@ -294,6 +294,23 @@ class MultiMapper:
         self._last_T_L_C = T_L_C
         self._last_camera = camera
 
+    def integrate_depth_with_esdf2d(self, depth, T_L_C, camera: Camera,
+                                    min_height_m: float,
+                                    max_height_m: float) -> bool:
+        """Fused tick: one dispatch for depth integration + the 2D-ESDF
+        solve (static TSDF mapping only — the relay's per-dispatch
+        turnaround dominates the online tick). Returns False when the
+        caller must fall back to integrate_depth() + update_esdf()."""
+        if self.is_dynamic_mode or self.dynamic_mapper is not None:
+            return False
+        depth_j = jnp.asarray(depth, jnp.float32)
+        if self.params.static_mapper.do_depth_preprocessing:
+            depth_j = dilate_invalid_depth(
+                depth_j,
+                self.params.static_mapper.depth_preprocessing_num_dilations)
+        return self.static_mapper.integrate_depth_with_esdf2d(
+            depth_j, T_L_C, camera, min_height_m, max_height_m)
+
     def integrate_color(self, color, T_L_C, camera: Camera,
                         mask: Optional[np.ndarray] = None,
                         depth=None) -> None:

@@ -32,7 +32,8 @@ from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops.tsdf import (TsdfIntegratorParams,
                                            WeightingFunctionType)
 from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (N_LEVELS, OHU_ROWS, TILE_U,
-                                                  TILE_V, UW, V, NB)
+                                                  TILE_V, UW, V, NB,
+                                                  exact_select_dot)
 
 NC = 4   # sampled channels: r, g, b, occlusion depth
 
@@ -48,7 +49,7 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
     @pl.when(i == 0)
     def _():
-        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.bfloat16)
 
     truncation = scal_ref[0]
     max_dist = scal_ref[1]
@@ -81,13 +82,16 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
             vt = vt_ref[j:j + 1]
             iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.float32)
+            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.bfloat16)
             ohv = (iota_v == vt).astype(jnp.float32)
             for ch in range(NC):   # one one-hot feeds all four channels
                 rolled = pltpu.roll(tile_scratch[ch], amt, axis=1)
                 window = rolled[:, :OHU_ROWS]
-                tmp = jnp.dot(window, ohu_scratch[:, :],
-                              preferred_element_type=jnp.float32)
+                # Exact bf16 selection (tsdf_pallas.exact_select_dot):
+                # plane 3 is the measured depth (3 terms, full mantissa);
+                # planes 0-2 are integral colors 0..255 (exact in 2).
+                tmp = exact_select_dot(window, ohu_scratch[:, :],
+                                       terms=3 if ch == 3 else 2)
                 meas_scratch[ch, j:j + 1] = jnp.sum(ohv * tmp, axis=0,
                                                     keepdims=True)
 
@@ -200,7 +204,7 @@ def integrate_color_pallas(color_r, color_g, color_b, color_weight,
         out_specs=[pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
             pltpu.VMEM((NC, TILE_V, TILE_U), jnp.float32),  # sampling tiles
-            pltpu.VMEM((OHU_ROWS, V), jnp.float32),         # embedded one-hot
+            pltpu.VMEM((OHU_ROWS, V), jnp.bfloat16),         # embedded one-hot
             pltpu.VMEM((NC, NB, V), jnp.float32),           # sampled values
         ],
     )

@@ -294,8 +294,8 @@ def _pass1_body(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_lines", "Sb", "band", "axis",
                                     "binary_input", "interpret"))
-def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
-                        binary_input: bool = False,
+def edt_pass_blockmajor(rows, needed_rows=None, *, n_lines: int, Sb: int,
+                        band: int, axis: int, binary_input: bool = False,
                         interpret: bool = False) -> jnp.ndarray:
     """Banded min-plus over block-major rows.
 
@@ -304,6 +304,16 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
     — dispatches the log-doubling L1 kernel (bit-identical output, ~2x
     fewer VPU ops at band 40) when the doubling row-reach fits the edge
     pad. Returns f32[n_lines * Sb, 512] (compact: halo rows removed).
+
+    needed_rows (optional): bool[n_lines * Sb] in compact OUTPUT order —
+    output-side pruning (round 5). A chunk runs only if one of its output
+    rows can still influence the solve's consumers (allocated blocks,
+    dilated by the band along the remaining pass axes — see
+    esdf_from_sites_dense). Exact: a pruned row is INF, and by the
+    dilation-chain construction no downstream active chunk ever reads it.
+    Without this, hollow-room interiors (sites on every wall => every
+    line's input-occupancy window is live) cost AABB volume; with it,
+    cost tracks allocated blocks (VERDICT r4 next #4).
     """
     Hb = halo_blocks(band)
     assert Hb <= _EP, (
@@ -324,8 +334,18 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
     # lines — hollow-room interiors, halo padding). See _pass_kernel on
     # why false-active flags are harmless and false-inactive impossible.
     row_fin = jnp.any(rows < INF, axis=1)
-    flags = jnp.any(row_fin.reshape(n_grid, NL * Sp),
-                    axis=1).astype(jnp.int32)
+
+    # Output-side pruning: per-input-chunk "some output row is needed"
+    # flags from needed_rows (compact order -> padded line layout).
+    nchunk = None
+    if needed_rows is not None:
+        nr = needed_rows
+        if n_pad != n_lines:
+            nr = jnp.concatenate(
+                [nr, jnp.zeros(((n_pad - n_lines) * Sb,), nr.dtype)])
+        nrp = jnp.zeros((n_pad, Sp), jnp.bool_).at[:, :Sb].set(
+            nr.reshape(n_pad, Sb))
+        nchunk = jnp.any(nrp.reshape(-1, 8), axis=1)
 
     def _blk(i, *_prefetch):
         return (i, 0)
@@ -334,6 +354,13 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
         kern = functools.partial(_pass1_kernel, Sb=Sb, Hb=Hb, band=band,
                                  m=m, NL=NL)
         scratch = [pltpu.VMEM((1, NL * Sp + 2 * _EP, V), jnp.float32)]
+        flags = jnp.any(row_fin.reshape(n_grid, NL * Sp),
+                        axis=1).astype(jnp.int32)
+        if nchunk is not None:
+            # Program-level only (the log-doubling body is whole-block
+            # vectorized): skip programs none of whose lines are needed.
+            flags = flags * jnp.any(nchunk.reshape(n_grid, -1),
+                                    axis=1).astype(jnp.int32)
         prefetch = (flags,)
     else:
         kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
@@ -349,6 +376,10 @@ def edt_pass_blockmajor(rows, *, n_lines: int, Sb: int, band: int, axis: int,
                                jnp.zeros((A,), jnp.int32)])
         cflags = jax.lax.reduce_window(ext, jnp.int32(0), jax.lax.max,
                                        (8 + 2 * A,), (8,), "VALID")
+        if nchunk is not None:
+            cflags = cflags * nchunk.astype(jnp.int32)
+        flags = jnp.any(cflags.reshape(n_grid, -1) > 0,
+                        axis=1).astype(jnp.int32)
         prefetch = (flags, cflags)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -480,17 +511,43 @@ def esdf_from_sites_dense(is_site, block_index_of_slot, alloc_count,
     rows_x = jnp.where(ok_r[:, None],
                        g0[jnp.clip(slot_of_row, 0, cap - 1)], INF)
 
-    out_x = edt_pass_blockmajor(rows_x, n_lines=n_lines_x, Sb=Sx, band=band,
-                                axis=0, binary_input=True,
+    # Output-side pruning chain (r5): the z-pass only needs outputs at
+    # ALLOCATED blocks; the y-pass only at rows the z-pass's active chunks
+    # can read (allocated dilated by the band along z); the x-pass at that
+    # dilated by the band along y. On hollow rooms (sites on every wall,
+    # air mostly unallocated) this is what makes cost track allocated
+    # blocks instead of AABB volume. Block-granular: Hb = ceil(band/8)
+    # blocks >= band voxels, so the dilation covers every possible read.
+    Hb = halo_blocks(band)
+    lin = (cells[:, 0] * Ny + cells[:, 1]) * Nz + cells[:, 2]
+    lin = jnp.where(in_region, lin, Nx * Ny * Nz)
+    alloc = jnp.zeros((Nx * Ny * Nz,), jnp.int32).at[lin].set(
+        1, mode="drop").reshape(Nx, Ny, Nz)
+
+    def _dilate_axis(g, axis_i):
+        win = [1, 1, 1]
+        win[axis_i] = 2 * Hb + 1
+        return jax.lax.reduce_window(g, jnp.int32(0), jax.lax.max,
+                                     tuple(win), (1, 1, 1), "SAME")
+
+    need3 = alloc
+    need2 = _dilate_axis(need3, 2)
+    need1 = _dilate_axis(need2, 1)
+    nr_x = need1.transpose(1, 2, 0).reshape(-1) > 0   # (cy,cz) lines, cx
+    nr_y = need2.transpose(2, 0, 1).reshape(-1) > 0   # (cz,cx) lines, cy
+    nr_z = (need3 > 0).reshape(-1)                    # (cx,cy) lines, cz
+
+    out_x = edt_pass_blockmajor(rows_x, nr_x, n_lines=n_lines_x, Sb=Sx,
+                                band=band, axis=0, binary_input=True,
                                 interpret=interpret)
     rows_y = _repad(out_x, dims_b, 0, 1, band)
     n_lines_y, Sy = _line_dims(dims_b, 1)
-    out_y = edt_pass_blockmajor(rows_y, n_lines=n_lines_y, Sb=Sy, band=band,
-                                axis=1, interpret=interpret)
+    out_y = edt_pass_blockmajor(rows_y, nr_y, n_lines=n_lines_y, Sb=Sy,
+                                band=band, axis=1, interpret=interpret)
     rows_z = _repad(out_y, dims_b, 1, 2, band)
     n_lines_z, Sz = _line_dims(dims_b, 2)
-    out_z = edt_pass_blockmajor(rows_z, n_lines=n_lines_z, Sb=Sz, band=band,
-                                axis=2, interpret=interpret)
+    out_z = edt_pass_blockmajor(rows_z, nr_z, n_lines=n_lines_z, Sb=Sz,
+                                band=band, axis=2, interpret=interpret)
 
     # Gather back to slot rows (compact z-order row of each slot's cell).
     row_z = _row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2], dims_b, 2,

@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops.occupancy import OccupancyIntegratorParams
-from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (N_LEVELS, OHU_ROWS, TILE_U,
+from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (exact_select_dot,
+                                                  N_LEVELS, OHU_ROWS, TILE_U,
                                                   TILE_V, UW, V, NB,
                                                   footprint_prepass,
                                                   pad_batch)
@@ -40,7 +41,7 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
     @pl.when(i == 0)
     def _():
-        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.bfloat16)
 
     nv = valid_ref[i * NB]
     for j in range(1, NB):
@@ -94,10 +95,9 @@ def _occ_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
             vt = vt_ref[j:j + 1]
             iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.float32)
+            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.bfloat16)
             ohv = (iota_v == vt).astype(jnp.float32)
-            tmp = jnp.dot(window, ohu_scratch[:, :],
-                          preferred_element_type=jnp.float32)
+            tmp = exact_select_dot(window, ohu_scratch[:, :])
             meas_scratch[j:j + 1] = jnp.sum(ohv * tmp, axis=0, keepdims=True)
 
     # --- vectorized log-odds fusion on (8, 512) (ops/occupancy.py).
@@ -170,7 +170,7 @@ def integrate_occupancy_pallas(log_odds, observed, slots, block_indices,
         out_specs=[pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM)] * 2,
         scratch_shapes=[
             pltpu.VMEM((TILE_V, TILE_U), jnp.float32),  # sampling tile
-            pltpu.VMEM((OHU_ROWS, V), jnp.float32),     # embedded one-hot
+            pltpu.VMEM((OHU_ROWS, V), jnp.bfloat16),    # embedded one-hot
             pltpu.VMEM((NB, V), jnp.float32),           # measured depths
         ],
     )

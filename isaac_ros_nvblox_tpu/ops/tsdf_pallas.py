@@ -63,10 +63,34 @@ UW = 32            # footprint window width after the dynamic roll
 OHU_ROWS = 128     # one-hot scratch rows (matmul contraction dim)
 N_LEVELS = 5       # decimation levels 0..4 (footprints up to ~512 px)
 V = 512
-NB = 16            # voxel blocks per program (sublane-dim batching; 16
-                   # halves the per-program fixed cost vs 8 — the fusion
-                   # math runs on (16, 512) = two vregs, and the ~0.5-1 us
-                   # per-program overhead amortizes over twice the blocks)
+NB = 32            # voxel blocks per program (sublane-dim batching; r5:
+                   # 32 halves the per-program fixed cost vs 16 — the
+                   # fusion math runs on (32, 512) = four vregs, and the
+                   # ~0.5-1 us per-program overhead amortizes over twice
+                   # the blocks; VMEM/program stays ~2.5 MB of ~16 MB)
+
+
+def exact_select_dot(window, oh_bf16, terms: int = 3):
+    """One-hot selection dot with bf16 MXU passes, exact to <=1 ulp.
+
+    A {0,1} one-hot is exact in bf16, and `window == sum(terms)` where
+    each term is the bf16 rounding of the running residual (residuals are
+    exact by Sterbenz: the rounding is within a factor 2 of the value).
+    `terms` single-pass bf16 dots replace one multi-pass f32 MXU dot —
+    the dominant MXU term of the sampling kernels. 3 terms cover the full
+    24-bit f32 mantissa (depth); 2 cover 16 bits — exact for integral
+    color planes (0..255) and ~8e-6 relative otherwise.
+    """
+    acc = None
+    rem = window
+    for _ in range(terms - 1):
+        part = rem.astype(jnp.bfloat16)
+        d = jnp.dot(part, oh_bf16, preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+        rem = rem - part.astype(jnp.float32)
+    d = jnp.dot(rem.astype(jnp.bfloat16), oh_bf16,
+                preferred_element_type=jnp.float32)
+    return acc + d if acc is not None else d
 
 
 def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
@@ -78,10 +102,13 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
     # One-hot scratch: only rows [0, UW) are ever written per block; the
     # rest stay zero for the whole grid (zeroed once here), so the 128-row
-    # contraction only ever sees the live window.
+    # contraction only ever sees the live window. bf16: a {0,1} one-hot is
+    # exact in bf16 and a bf16 MXU pass is several times cheaper than the
+    # multi-pass f32 dot (the window side is 3-split below — the full
+    # sampling dot stays exact to <=1 ulp of the f32 gather).
     @pl.when(i == 0)
     def _():
-        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.bfloat16)
 
     # Whole-program skip: trailing programs of a part-full batch (padding
     # slots) pass their rows through untouched instead of running the
@@ -135,18 +162,30 @@ def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
             # slices must be 128-aligned, rolls need not) and keep 128
             # lanes for the contraction.
             sh = shift_ref[i * NB + j]
-            rolled = pltpu.roll(tile_scratch[:, :],
-                                jax.lax.rem(TILE_U - sh, TILE_U), axis=1)
-            window = rolled[:, :OHU_ROWS]                  # (TILE_V, 128)
+            if ablate == "noroll":
+                window = tile_scratch[:, :OHU_ROWS]
+            else:
+                rolled = pltpu.roll(tile_scratch[:, :],
+                                    jax.lax.rem(TILE_U - sh, TILE_U), axis=1)
+                window = rolled[:, :OHU_ROWS]              # (TILE_V, 128)
             ut = ut_ref[j:j + 1]                           # (1, V), in [0,UW)
             vt = vt_ref[j:j + 1]
             iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
             # Invalid voxels (ut == -1) produce an all-zero one-hot column.
-            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.float32)
+            if ablate != "noonehot":
+                ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.bfloat16)
             ohv = (iota_v == vt).astype(jnp.float32)       # (TILE_V, V)
-            tmp = jnp.dot(window, ohu_scratch[:, :],
-                          preferred_element_type=jnp.float32)  # (TILE_V, V)
+            if ablate == "nodot":
+                tmp = window[:, :1] + jnp.zeros((TILE_V, V), jnp.float32)
+            elif ablate == "f32dot":
+                tmp = jnp.dot(window, ohu_scratch[:, :].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            elif ablate == "bf16dot":
+                tmp = jnp.dot(window.astype(jnp.bfloat16), ohu_scratch[:, :],
+                              preferred_element_type=jnp.float32)
+            else:
+                tmp = exact_select_dot(window, ohu_scratch[:, :])
             meas_scratch[j:j + 1] = jnp.sum(ohv * tmp, axis=0, keepdims=True)
 
     # --- vectorized fusion on (8, 512).
@@ -206,18 +245,21 @@ def _decimation_onehot(n: int):
 
 
 def build_decimation_levels(img, n_levels: int = N_LEVELS):
-    """Nearest-sample decimation pyramid [img, img[::2,::2], ...] with the
-    striding done as one-hot MXU matmuls on the last two axes (bit-exact
-    equal to strided slicing; see _decimation_onehot). `img` may carry
-    leading batch axes (e.g. the color kernel's 4 planes)."""
+    """Nearest-sample decimation pyramid [img, img[::2,::2], ...].
+
+    Row (sublane-dim) striding is a plain strided slice — cheap on TPU;
+    only LANE-dim strides lower to cross-lane shuffles (~1 ms/frame for
+    the 5-level pyramid, measured r2), so the column striding stays a
+    one-hot MXU matmul (bit-exact equal to strided slicing; see
+    _decimation_onehot). r5: dropping the row-side matmul halved the
+    pyramid's measured cost. `img` may carry leading batch axes (e.g.
+    the color kernel's 4 planes)."""
     levels = [img]
     cur = img
     for _ in range(1, n_levels):
-        h, w = cur.shape[-2], cur.shape[-1]
-        sh = _decimation_onehot(h)   # (h, h2)
+        w = cur.shape[-1]
         sw = _decimation_onehot(w)   # (w, w2)
-        cur = jnp.einsum("hk,...hw->...kw", sh, cur,
-                         preferred_element_type=jnp.float32)
+        cur = cur[..., ::2, :]
         cur = jnp.matmul(cur, sw, preferred_element_type=jnp.float32)
         levels.append(cur)
     return levels
@@ -401,7 +443,7 @@ def _run_fusion_kernel(distance, weight, slots, safe_slots, levels, level,
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_V, TILE_U), jnp.float32),  # sampling tile
-            pltpu.VMEM((OHU_ROWS, V), jnp.float32),     # embedded one-hot
+            pltpu.VMEM((OHU_ROWS, V), jnp.bfloat16),    # embedded one-hot
             pltpu.VMEM((NB, V), jnp.float32),           # measured depths
         ],
     )

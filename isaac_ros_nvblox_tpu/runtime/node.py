@@ -254,11 +254,17 @@ class NvbloxNode:
         with Timer("node/tick"):
             Rates.tick("node/tick")
             self.service_queue.process_all()
-            self._process_depth_queue(now)
+            # The ESDF gate is evaluated BEFORE the depth queue so an
+            # ESDF-cadence tick can fuse the solve into the integration
+            # dispatch (one program instead of two through the relay;
+            # see DeviceMapper.integrate_depth_with_esdf2d).
+            esdf_due = self._gate.should_process(
+                "esdf", self.params.update_esdf_rate_hz, now)
+            self._esdf_fused_done = False
+            self._process_depth_queue(now, esdf_due=esdf_due)
             self._process_color_queue(now)
             self._process_pointcloud_queue(now)
-            if self._gate.should_process(
-                    "esdf", self.params.update_esdf_rate_hz, now):
+            if esdf_due:
                 self._process_esdf()
             if self._gate.should_process(
                     "mesh", self.params.update_mesh_rate_hz, now):
@@ -286,7 +292,8 @@ class NvbloxNode:
         frame, stamp = item.frame_id, item.stamp_s
         return self.transformer.can_transform(frame, stamp)
 
-    def _process_depth_queue(self, now: float) -> None:
+    def _process_depth_queue(self, now: float, esdf_due: bool = False
+                             ) -> None:
         if not self.params.use_depth:
             return
         items = self.depth_queue.extract_ready(self._pose_ready)
@@ -307,6 +314,27 @@ class NvbloxNode:
             # use_segmentation gates the masked-split path
             # (node_params.hpp:67-69).
             mask = item.mask if self.params.use_segmentation else None
+            # ESDF-cadence tick: fuse the 2D solve into this frame's
+            # integration dispatch when the configuration allows (2D mode,
+            # static mapping, no mask, ground-plane band not in play —
+            # that path re-estimates the plane first).
+            fused = False
+            if (esdf_due and not self._esdf_fused_done and mask is None
+                    and self.params.esdf_2d
+                    and self.multi_mapper.params.esdf_mode == EsdfMode.K2D
+                    and not self.params.use_ground_plane_estimator):
+                lo, hi = self.multi_mapper.esdf_2d_band()
+                with Timer("node/depth/integrate"):
+                    fused = self.multi_mapper.integrate_depth_with_esdf2d(
+                        item.depth, T, item.camera, lo, hi)
+                if fused:
+                    # _process_esdf still runs this tick (slice publishing
+                    # + its Rates tick); its update_esdf() early-outs on
+                    # the cleared 2D dirty window.
+                    self._esdf_fused_done = True
+                    Rates.tick("node/depth")
+                    self._maybe_publish_back_projection(item, T, now)
+                    continue
             with Timer("node/depth/integrate"):
                 self.multi_mapper.integrate_depth(
                     item.depth, T, item.camera, mask=mask,

@@ -128,8 +128,7 @@ def main():
                 dist = dist.at[slots].set(d_b + 1e-7, mode="drop")
                 wght = wght.at[slots].set(w_b + 1e-7, mode="drop")
                 return (st, dist, wght, acc), ()
-            ablate = {"full": "", "nosample": "nosample",
-                      "notile": "notile"}[kind]
+            ablate = {"full": ""}.get(kind, kind)
             dist, wght = tp._run_fusion_kernel(
                 dist, wght, slots, safe_slots, levels, level, u0, v0,
                 shift, valid, ut, vt, pcz, voxel_size_m=voxel_size,
@@ -138,7 +137,8 @@ def main():
         return step
 
     kinds = ["empty", "view", "alloc", "pyramid", "prepass", "gather",
-             "nosample", "notile", "full"]
+             "nosample", "notile", "noroll", "noonehot", "nodot",
+             "f32dot", "bf16dot", "full"]
     jitted = {}
     for kind in kinds:
         def run(ds, ps, _k=kind):
@@ -182,8 +182,9 @@ def main():
         out["full_ms"] - out["prepass_ms"], 4)
     out["kernel_sampling_ms"] = round(
         out["full_ms"] - out["nosample_ms"], 4)
-    out["kernel_tilecopy_ms"] = round(
-        out["full_ms"] - out["notile_ms"], 4)
+    for k in ("notile", "noroll", "noonehot", "nodot", "f32dot", "bf16dot"):
+        out[f"kernel_{k}_delta_ms"] = round(
+            out["full_ms"] - out[k + "_ms"], 4)
     out["n_steps"] = n_steps
     out["max_blocks"] = max_blocks
     out["NB"] = tp.NB

@@ -50,6 +50,30 @@ def main():
 
     import isaac_ros_nvblox_tpu.runtime.node as node_mod
 
+    # Count device dispatches: wrap every module-level jitted callable in
+    # the mapper stack (call sites resolve module globals at call time, so
+    # setattr-wrapping counts them all). Each dispatch through the
+    # tunneled relay costs ~2.5-4 ms wall on the HOST thread even though
+    # execution is async — dispatch count IS the tick time structure.
+    import isaac_ros_nvblox_tpu.mapper.device_mapper as dmod
+    import isaac_ros_nvblox_tpu.mapper.multi_mapper as mmod
+    import isaac_ros_nvblox_tpu.mapper.device_io as iomod
+    import isaac_ros_nvblox_tpu.ops.ground_plane as gmod
+    disp = {}
+
+    def wrap_jits(mod):
+        for name, obj in list(vars(mod).items()):
+            if isinstance(obj, jax.stages.Wrapped):
+                def mk(f, key):
+                    def w(*a, **kw):
+                        disp[key] = disp.get(key, 0) + 1
+                        return f(*a, **kw)
+                    return w
+                setattr(mod, name, mk(obj, f"{mod.__name__.split('.')[-1]}."
+                                      f"{name}"))
+    for m in (dmod, mmod, iomod, gmod):
+        wrap_jits(m)
+
     # Wrap the per-phase internals with wall timers.
     phases = {}
 
@@ -91,13 +115,28 @@ def main():
         float(jnp.sum(sm.channels["tsdf_distance"][:1, :1]))
 
     run_pass(0.0)   # warmup/compile
+    run_pass(1.0)   # steady-state shapes
     phases.clear()
+    disp.clear()
     t0 = time.perf_counter()
-    run_pass(1.0)
+    run_pass(2.0)
     total = time.perf_counter() - t0
-    print(f"total: {total * 1e3 / n_frames:.2f} ms/tick")
+    n_disp = sum(disp.values())
+    print(f"total: {total * 1e3 / n_frames:.2f} ms/tick, "
+          f"{n_disp / n_frames:.2f} dispatches/tick")
+    for k, v in sorted(disp.items(), key=lambda kv: -kv[1]):
+        print(f"  dispatches {k}: {v / n_frames:.2f}/tick")
     for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
         print(f"  {k}: {v * 1e3 / n_frames:.2f} ms/tick")
+    # Host-blocking cost of ONE dispatch (tiny jit, no readback).
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.float32(0)
+    tiny(z)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        tiny(z)
+    print(f"per-dispatch host cost: "
+          f"{(time.perf_counter() - t0) / 30 * 1e3:.2f} ms")
 
     # Eager incremental ESDF loop (bench's esdf_incremental_ms).
     from isaac_ros_nvblox_tpu.core.world_grid import WorldGridConfig
