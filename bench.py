@@ -361,6 +361,45 @@ def main():
     # driving this chip would see.
     from isaac_ros_nvblox_tpu.mapper.params import make_params
     from isaac_ros_nvblox_tpu.runtime.node import NodeParams, NvbloxNode
+
+    # Dispatch accounting (VERDICT r4 next #2): count every jitted call
+    # the tick path makes (module-global jits resolve at call time, so
+    # wrapping the module attributes counts them all), and measure the
+    # relay's pipelined per-dispatch turnaround with a chain of dependent
+    # tiny programs — together these explain the tick as
+    # n_dispatches x turnaround + host time.
+    import isaac_ros_nvblox_tpu.mapper.device_io as _iomod
+    import isaac_ros_nvblox_tpu.mapper.device_mapper as _dmod
+    import isaac_ros_nvblox_tpu.mapper.multi_mapper as _mmod
+    disp_n = [0]
+
+    def _wrap_jits(mod):
+        for _name, _obj in list(vars(mod).items()):
+            if isinstance(_obj, jax.stages.Wrapped):
+                def _mk(f):
+                    def w(*a, **kw):
+                        disp_n[0] += 1
+                        return f(*a, **kw)
+                    return w
+                setattr(mod, _name, _mk(_obj))
+    for _mod in (_dmod, _mmod, _iomod):
+        _wrap_jits(_mod)
+
+    tiny = jax.jit(lambda x: x * 1.0000001 + 1.0)
+
+    def t_chain(n):
+        xx = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            xx = tiny(xx)
+        _barrier(xx)
+        return time.perf_counter() - t0
+
+    t_chain(8)  # compile + warm
+    # Slope of chain length -> wall removes the one-off readback RTT.
+    dispatch_turnaround_ms = max(
+        min((t_chain(40) - t_chain(8)) * 1e3 / 32 for _ in range(3)), 0.0)
+
     clock_t = [0.0]
     node = NvbloxNode(
         NodeParams(), make_params(overlay={
@@ -396,11 +435,14 @@ def main():
     Timing.reset()
     node_tick_ms = float("inf")
     n_tick_reps = 5
+    disp_n[0] = 0
     for rep in range(n_tick_reps):
         t0 = time.perf_counter()
         node_pass(2.0 + rep)
         node_tick_ms = min(node_tick_ms,
                            (time.perf_counter() - t0) * 1e3 / n_frames)
+    node_disp_per_tick = disp_n[0] / (n_tick_reps * n_frames)
+    node_dispatch_floor_ms = node_disp_per_tick * dispatch_turnaround_ms
     tick_breakdown = {
         "node_" + "_".join(k.split("/")[1:]) + "_ms":
             round(s.total * 1e3 / (n_tick_reps * n_frames), 3)
@@ -467,11 +509,66 @@ def main():
     big_mapper.check_slot_bucket()
     assert int(big_mapper.state.overflow_count) == 0, "big-scene overflow"
 
+    # --- Sparse variant (Redwood-like condition, VERDICT r4 missing #3):
+    # the reference publishes a SECOND dataset with different scene
+    # statistics (single scanned object, no room shell — Redwood TSDF
+    # 0.2 ms on the 3090, 2.5x faster than Replica). Equivalent here: a
+    # free-standing object cluster on a floor slab, most of each VGA
+    # frame depth-invalid, ~4x fewer touched blocks than the headline
+    # room — this exposes the fixed-cost floor the roofline artifact
+    # identifies (low occupancy => per-program padding dominates).
+    sparse_scene = Scene(primitives=(
+        Box(center=(0.0, 0.0, -0.1), half_extents=(3.0, 3.0, 0.1)),
+        Box(center=(0.0, 0.0, 0.45), half_extents=(0.25, 0.25, 0.45)),
+        Box(center=(0.0, -0.22, 1.1), half_extents=(0.25, 0.03, 0.35)),
+        Sphere(center=(0.35, 0.3, 0.5), radius=0.18),
+    ))
+    sparse_depths = jnp.stack([
+        render_depth(sparse_scene, camera,
+                     jnp.asarray(orbit_pose(2 * np.pi * k / n_frames,
+                                            radius=1.8)))
+        for k in range(n_frames)])
+    sparse_poses = jnp.stack([
+        jnp.asarray(orbit_pose(2 * np.pi * k / n_frames, radius=1.8))
+        for k in range(n_frames)])
+    sparse_mapper = DeviceMapper(
+        voxel_size_m=voxel_size, params=params,
+        world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
+                              origin_block=(-32, -32, -8)),
+        enable_color=False, enable_esdf=True,
+        max_blocks_per_frame=pick_max_blocks(sparse_depths, sparse_poses,
+                                             5.0))
+    sparse_depths_r = jnp.concatenate([sparse_depths] * 4)
+    sparse_poses_r = jnp.concatenate([sparse_poses] * 4)
+    _barrier(sparse_mapper.replay_frames(sparse_depths_r, sparse_poses_r,
+                                         camera))
+    sparse_region = sparse_mapper.esdf_region(margin_blocks=0, mult=1)
+    _barrier(sparse_mapper.replay_frames(
+        sparse_depths_r, sparse_poses_r, camera, esdf_every=1,
+        esdf_region=sparse_region, slot_bucket=2048))
+    n_blocks_sparse = sparse_mapper.block_count()
+
+    def t_sparse(**kw):
+        t0 = time.perf_counter()
+        _barrier(sparse_mapper.replay_frames(sparse_depths_r,
+                                             sparse_poses_r, camera, **kw))
+        return time.perf_counter() - t0
+
+    tsdf_ms_sparse, _ = paired(t_empty, t_sparse)
+    esdf_ms_sparse, _ = paired(
+        t_sparse,
+        lambda: t_sparse(esdf_every=1, esdf_region=sparse_region,
+                         slot_bucket=2048))
+    sparse_mapper.check_slot_bucket()
+    assert int(sparse_mapper.state.overflow_count) == 0, "sparse overflow"
+
     # Free the dynamic/node/big-scene device state before the accuracy
     # map: the pool channels are ~33 MB each and HBM holds every live
     # mapper at once (a full accuracy map OOMed here before the dels).
     del mm, dyn_pass, t_dyn_pass, node, node_pass, big_mapper, big_depths
     del big_poses, big_depths_r, big_poses_r, t_big, incr_j, incr_scan
+    del sparse_mapper, sparse_depths, sparse_poses, sparse_depths_r
+    del sparse_poses_r, t_sparse
 
     # --- Mesh accuracy proxy: cluttered multi-room scene (untimed). ---
     # The strongest stand-in for real Replica/Redwood accuracy benchmarks
@@ -500,6 +597,12 @@ def main():
                                       jnp.stack(acc_poses), camera))
     acc = mesh_accuracy(acc_mapper, acc_scene)
     acc_blocks = acc_mapper.block_count()
+    # Error attribution artifact (which primitives/error scales drive the
+    # mean — VERDICT r4 next #7); the bench line carries only the scalars.
+    with open("/root/repo/ACCURACY_ATTRIBUTION.json", "w") as f:
+        json.dump({k: acc[k] for k in
+                   ("mesh_surface_err_m", "tau_m", "per_primitive",
+                    "err_hist_quarter_voxel_bins")}, f, indent=1)
 
     # --- Accuracy vs the analytic scene (reconstruction parity check). ---
     from isaac_ros_nvblox_tpu.core.types import voxel_centers_for_blocks
@@ -523,11 +626,16 @@ def main():
 
     # Reference (BASELINE.md, Replica @ RTX 3090): TSDF 0.5 ms + ESDF 0.8 ms.
     baseline_fps = 1000.0 / (0.5 + 0.8)
+    # Raw basis (VERDICT r4 next #1): NO relay-floor subtraction on the
+    # TSDF term — the ESDF term is a cadence difference where the floor
+    # cancels by construction either way.
+    fps_raw = 1000.0 / (tsdf_ms_raw + esdf_ms)
     print(json.dumps({
         "metric": "frames/s/chip TSDF+ESDF integrate @0.05m voxels",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 4),
+        "vs_baseline_raw": round(fps_raw / baseline_fps, 4),
         "pipeline_fps_at_ref_cadence": round(pipeline_fps, 2),
         "tsdf_ms": round(tsdf_ms, 3),
         "tsdf_ms_raw": round(tsdf_ms_raw, 3),
@@ -536,6 +644,9 @@ def main():
         "esdf_incremental_ms": round(esdf_incr_ms, 3),
         "esdf_incremental_noise_ms": round(esdf_incr_noise_ms, 3),
         "node_tick_ms": round(node_tick_ms, 3),
+        "node_dispatches_per_tick": round(node_disp_per_tick, 2),
+        "node_dispatch_turnaround_ms": round(dispatch_turnaround_ms, 3),
+        "node_dispatch_floor_ms": round(node_dispatch_floor_ms, 3),
         "mesh_ms": round(mesh_ms, 3),
         "color_ms": round(color_ms, 3),
         "dynamics_ms": round(dynamics_ms, 3),
@@ -545,6 +656,9 @@ def main():
         "tsdf_ms_large_scene": round(tsdf_ms_big, 3),
         "esdf_ms_large_scene": round(esdf_ms_big, 3),
         "allocated_blocks_large_scene": n_blocks_big,
+        "tsdf_ms_sparse_scene": round(tsdf_ms_sparse, 3),
+        "esdf_ms_sparse_scene": round(esdf_ms_sparse, 3),
+        "allocated_blocks_sparse_scene": n_blocks_sparse,
         "mesh_fscore": round(acc["mesh_fscore"], 4),
         "mesh_surface_err_m": round(acc["mesh_surface_err_m"], 4),
         "mesh_precision": round(acc["mesh_precision"], 4),

@@ -33,7 +33,8 @@ from isaac_ros_nvblox_tpu.ops.tsdf import (TsdfIntegratorParams,
                                            WeightingFunctionType)
 from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (N_LEVELS, OHU_ROWS, TILE_U,
                                                   TILE_V, UW, V, NB,
-                                                  exact_select_dot)
+                                                  write_window_onehot,
+                                                  zero_window_onehot)
 
 NC = 4   # sampled channels: r, g, b, occlusion depth
 
@@ -49,7 +50,7 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
     @pl.when(i == 0)
     def _():
-        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.bfloat16)
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
 
     truncation = scal_ref[0]
     max_dist = scal_ref[1]
@@ -77,23 +78,19 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
                         tile_scratch[ch] = ref[ch, pl.ds(v0, TILE_V),
                                                pl.ds(u0, TILE_U)]
             sh = shift_ref[i * NB + j]
-            amt = jax.lax.rem(TILE_U - sh, TILE_U)
             ut = ut_ref[j:j + 1]
             vt = vt_ref[j:j + 1]
-            iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.bfloat16)
+            # One offset-write one-hot feeds all four channel dots
+            # (tsdf_pallas.write_window_onehot: no in-kernel roll).
+            write_window_onehot(ohu_scratch, ut, sh)
             ohv = (iota_v == vt).astype(jnp.float32)
-            for ch in range(NC):   # one one-hot feeds all four channels
-                rolled = pltpu.roll(tile_scratch[ch], amt, axis=1)
-                window = rolled[:, :OHU_ROWS]
-                # Exact bf16 selection (tsdf_pallas.exact_select_dot):
-                # plane 3 is the measured depth (3 terms, full mantissa);
-                # planes 0-2 are integral colors 0..255 (exact in 2).
-                tmp = exact_select_dot(window, ohu_scratch[:, :],
-                                       terms=3 if ch == 3 else 2)
+            for ch in range(NC):
+                tmp = jnp.dot(tile_scratch[ch], ohu_scratch[:, :],
+                              preferred_element_type=jnp.float32)
                 meas_scratch[ch, j:j + 1] = jnp.sum(ohv * tmp, axis=0,
                                                     keepdims=True)
+            zero_window_onehot(ohu_scratch, sh)
 
     # --- vectorized fusion on (8, 512) (ops/color.py semantics).
     z = pcz_ref[:, :]
@@ -204,7 +201,7 @@ def integrate_color_pallas(color_r, color_g, color_b, color_weight,
         out_specs=[pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
             pltpu.VMEM((NC, TILE_V, TILE_U), jnp.float32),  # sampling tiles
-            pltpu.VMEM((OHU_ROWS, V), jnp.bfloat16),         # embedded one-hot
+            pltpu.VMEM((OHU_ROWS, V), jnp.float32),          # embedded one-hot
             pltpu.VMEM((NC, NB, V), jnp.float32),           # sampled values
         ],
     )

@@ -48,7 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (N_LEVELS, OHU_ROWS, TILE_U,
                                                   TILE_V, UW, V, NB,
-                                                  footprint_prepass, pad_batch)
+                                                  footprint_prepass,
+                                                  pad_batch,
+                                                  write_window_onehot,
+                                                  zero_window_onehot)
 
 
 def _level_shapes(H: int, W: int):
@@ -102,16 +105,13 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, active_ref, scal_ref,
                         tile_scratch[:, :] = ref[pl.ds(v0, TILE_V),
                                                  pl.ds(u0, TILE_U)]
                 sh = shift_ref[i * NB + j]
-                rolled = pltpu.roll(tile_scratch[:, :],
-                                    jax.lax.rem(TILE_U - sh, TILE_U), axis=1)
-                window = rolled[:, :OHU_ROWS]
                 ut = ut_ref[j:j + 1]
                 vt = vt_ref[j:j + 1]
-                iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
                 iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-                ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.float32)
+                # Offset-write one-hot; no in-kernel roll (tsdf_pallas r5).
+                write_window_onehot(ohu_scratch, ut, sh)
                 ohv = (iota_v == vt).astype(jnp.float32)
-                tmp = jnp.dot(window, ohu_scratch[:, :],
+                tmp = jnp.dot(tile_scratch[:, :], ohu_scratch[:, :],
                               preferred_element_type=jnp.float32)
                 d = jnp.sum(ohv * tmp, axis=0, keepdims=True)   # (1, V)
 
@@ -133,19 +133,23 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, active_ref, scal_ref,
                 dyn = (hc_ref[j:j + 1] * (ok & inb).astype(jnp.float32))
 
                 # Transposed one-hot scatter: M[r, c] = sum_v ohv*dyn*ohu.
+                # With the 256-row tile-space one-hot, M's columns map
+                # DIRECTLY to image cols [u0, u0+256): one 128-aligned
+                # strip RMW, no roll at all (the old full-image-width
+                # pad+roll+RMW cost ~6x more VPU work per block at
+                # level 0 and dominated the kernel).
                 M = jax.lax.dot_general(
                     ohv * dyn, ohu_scratch[:, :],
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (TILE_V, 128)
+                    preferred_element_type=jnp.float32)  # (TILE_V, 256)
                 for lvl in range(N_LEVELS):
                     @pl.when(level == lvl)
                     def _(lvl=lvl):
-                        wpad = mask_shapes[lvl][1]
-                        strip = jnp.pad(M, ((0, 0), (0, wpad - OHU_ROWS)))
-                        strip = pltpu.roll(strip, u0 + sh, axis=1)
-                        prev = outs[lvl][pl.ds(v0, TILE_V), :]
-                        outs[lvl][pl.ds(v0, TILE_V), :] = \
-                            jnp.maximum(prev, strip)
+                        prev = outs[lvl][pl.ds(v0, TILE_V),
+                                         pl.ds(u0, TILE_U)]
+                        outs[lvl][pl.ds(v0, TILE_V), pl.ds(u0, TILE_U)] = \
+                            jnp.maximum(prev, M)
+                zero_window_onehot(ohu_scratch, sh)
 
 
 @functools.partial(

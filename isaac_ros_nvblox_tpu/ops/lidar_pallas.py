@@ -87,7 +87,9 @@ def integrate_tsdf_lidar_pallas(distance, weight, slots, block_indices,
     u0 = (jnp.round(uc_eff * scale / 128.0).astype(jnp.int32) - 1) * 128
     u0 = jnp.clip(u0, 0, w_l - TILE_U)
     utc = jnp.round(uc_eff * scale).astype(jnp.int32) - u0
-    shift = jnp.clip(utc - UW // 2, 0, TILE_U - UW)
+    # 32-quantized window start (8-aligned dynamic sublane offset for
+    # write_window_onehot; see footprint_prepass).
+    shift = jnp.clip(((utc - 16) // 32) * 32, 0, TILE_U - UW)
     valid = (slots < cap).astype(jnp.int32)
     safe_slots = jnp.where(slots < cap, slots, 0)
 

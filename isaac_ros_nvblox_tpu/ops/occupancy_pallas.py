@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from isaac_ros_nvblox_tpu.models.camera import Camera
 from isaac_ros_nvblox_tpu.ops.occupancy import OccupancyIntegratorParams
-from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (exact_select_dot,
+from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (write_window_onehot,
+                                                  zero_window_onehot,
                                                   N_LEVELS, OHU_ROWS, TILE_U,
                                                   TILE_V, UW, V, NB,
                                                   footprint_prepass,
@@ -41,7 +42,7 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
     @pl.when(i == 0)
     def _():
-        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.bfloat16)
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
 
     nv = valid_ref[i * NB]
     for j in range(1, NB):
@@ -88,17 +89,16 @@ def _occ_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
                     tile_scratch[:, :] = ref[pl.ds(v0, TILE_V),
                                              pl.ds(u0, TILE_U)]
             sh = shift_ref[i * NB + j]
-            rolled = pltpu.roll(tile_scratch[:, :],
-                                jax.lax.rem(TILE_U - sh, TILE_U), axis=1)
-            window = rolled[:, :OHU_ROWS]
             ut = ut_ref[j:j + 1]
             vt = vt_ref[j:j + 1]
-            iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.bfloat16)
+            # Offset-write one-hot; no in-kernel roll (tsdf_pallas r5).
+            write_window_onehot(ohu_scratch, ut, sh)
             ohv = (iota_v == vt).astype(jnp.float32)
-            tmp = exact_select_dot(window, ohu_scratch[:, :])
+            tmp = jnp.dot(tile_scratch[:, :], ohu_scratch[:, :],
+                          preferred_element_type=jnp.float32)
             meas_scratch[j:j + 1] = jnp.sum(ohv * tmp, axis=0, keepdims=True)
+            zero_window_onehot(ohu_scratch, sh)
 
     # --- vectorized log-odds fusion on (8, 512) (ops/occupancy.py).
     measured = meas_scratch[:, :]
@@ -170,7 +170,7 @@ def integrate_occupancy_pallas(log_odds, observed, slots, block_indices,
         out_specs=[pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM)] * 2,
         scratch_shapes=[
             pltpu.VMEM((TILE_V, TILE_U), jnp.float32),  # sampling tile
-            pltpu.VMEM((OHU_ROWS, V), jnp.bfloat16),    # embedded one-hot
+            pltpu.VMEM((OHU_ROWS, V), jnp.float32),     # embedded one-hot
             pltpu.VMEM((NB, V), jnp.float32),           # measured depths
         ],
     )

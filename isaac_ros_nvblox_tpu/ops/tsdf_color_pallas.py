@@ -40,9 +40,10 @@ from isaac_ros_nvblox_tpu.ops.tsdf import (TsdfIntegratorParams,
 from isaac_ros_nvblox_tpu.ops.tsdf_pallas import (N_LEVELS, NB, OHU_ROWS,
                                                   TILE_U, TILE_V, UW, V,
                                                   build_decimation_levels,
-                                                  exact_select_dot,
                                                   footprint_prepass,
-                                                  pad_batch)
+                                                  pad_batch,
+                                                  write_window_onehot,
+                                                  zero_window_onehot)
 
 NC = 4   # sampled planes: depth, r, g, b
 
@@ -57,7 +58,7 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
     @pl.when(i == 0)
     def _():
-        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.bfloat16)
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
 
     nv = valid_ref[i * NB]
     for j in range(1, NB):
@@ -113,23 +114,19 @@ def _body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
                         tile_scratch[ch] = ref[ch, pl.ds(v0, TILE_V),
                                                pl.ds(u0, TILE_U)]
             sh = shift_ref[i * NB + j]
-            amt = jax.lax.rem(TILE_U - sh, TILE_U)
             ut = ut_ref[j:j + 1]
             vt = vt_ref[j:j + 1]
-            iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-            ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.bfloat16)
+            # One offset-write one-hot feeds all four channel dots
+            # (tsdf_pallas.write_window_onehot: no in-kernel roll).
+            write_window_onehot(ohu_scratch, ut, sh)
             ohv = (iota_v == vt).astype(jnp.float32)
             for ch in range(NC):
-                rolled = pltpu.roll(tile_scratch[ch], amt, axis=1)
-                window = rolled[:, :OHU_ROWS]
-                # Exact bf16 selection (tsdf_pallas.exact_select_dot):
-                # depth (ch 0) needs 3 terms for the 24-bit mantissa;
-                # color planes are integral 0..255, exact in 2.
-                tmp = exact_select_dot(window, ohu_scratch[:, :],
-                                       terms=3 if ch == 0 else 2)
+                tmp = jnp.dot(tile_scratch[ch], ohu_scratch[:, :],
+                              preferred_element_type=jnp.float32)
                 meas_scratch[ch, j:j + 1] = jnp.sum(ohv * tmp, axis=0,
                                                     keepdims=True)
+            zero_window_onehot(ohu_scratch, sh)
 
     # --- TSDF fusion (ops/tsdf_pallas.py::_tsdf_body semantics, bitwise).
     measured = meas_scratch[0]
@@ -267,7 +264,7 @@ def integrate_tsdf_color_pallas(distance, weight, color_r, color_g, color_b,
         out_specs=[pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM)] * 6,
         scratch_shapes=[
             pltpu.VMEM((NC, TILE_V, TILE_U), jnp.float32),  # sampling tiles
-            pltpu.VMEM((OHU_ROWS, V), jnp.bfloat16),        # embedded one-hot
+            pltpu.VMEM((OHU_ROWS, V), jnp.float32),         # embedded one-hot
             pltpu.VMEM((NC, NB, V), jnp.float32),           # sampled planes
         ],
     )

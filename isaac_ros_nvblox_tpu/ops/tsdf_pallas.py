@@ -59,8 +59,18 @@ TILE_U = 256       # tile cols: 2 x 128; with u0 = round(uc/128)*128 - 128
                    # the footprint center sits within [u0+64, u0+192), so
                    # both margins are >= 64 px >> the <=16 px footprint
                    # (lane-dim slice origins must be 128-aligned on TPU)
-UW = 32            # footprint window width after the dynamic roll
-OHU_ROWS = 128     # one-hot scratch rows (matmul contraction dim)
+UW = 64            # footprint window width after the quantized roll
+                   # (shifts are 32-quantized so the roll is 3 conditional
+                   # STATIC lane rotates; the window widens 32->64 to keep
+                   # every footprint voxel inside: ut in [7, 57))
+OHU_ROWS = 256     # one-hot scratch rows == TILE_U: the contraction runs
+                   # over the FULL tile width, with only the UW rows at
+                   # sublane offset `shift` live — r5: measured (v5e,
+                   # TSDF_FIXED.json) the MXU dot is ~free (nodot delta
+                   # 0.01 ms) while ANY in-kernel roll of the tile costs
+                   # ~0.1 ms/frame; a dynamic-sublane-offset one-hot write
+                   # needs no roll at all (shift is 32-quantized, so the
+                   # offset is 8-aligned as Mosaic requires)
 N_LEVELS = 5       # decimation levels 0..4 (footprints up to ~512 px)
 V = 512
 NB = 32            # voxel blocks per program (sublane-dim batching; r5:
@@ -70,27 +80,21 @@ NB = 32            # voxel blocks per program (sublane-dim batching; r5:
                    # the blocks; VMEM/program stays ~2.5 MB of ~16 MB)
 
 
-def exact_select_dot(window, oh_bf16, terms: int = 3):
-    """One-hot selection dot with bf16 MXU passes, exact to <=1 ulp.
+def write_window_onehot(ohu_scratch, ut, sh):
+    """Write the footprint-window one-hot into the 256-row scratch at
+    sublane offset `sh` (32-quantized => 8-aligned): row c of the scratch
+    selects tile column c, and only rows [sh, sh+UW) can be live for this
+    block. Returns nothing; callers must zero the same span after their
+    dots (zero_window_onehot) so the next block sees a clean scratch.
+    Invalid voxels (ut == -1) produce an all-zero one-hot column."""
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
+    sh = pl.multiple_of(sh, 32)
+    ohu_scratch[pl.ds(sh, UW), :] = (iota_u == ut).astype(jnp.float32)
 
-    A {0,1} one-hot is exact in bf16, and `window == sum(terms)` where
-    each term is the bf16 rounding of the running residual (residuals are
-    exact by Sterbenz: the rounding is within a factor 2 of the value).
-    `terms` single-pass bf16 dots replace one multi-pass f32 MXU dot —
-    the dominant MXU term of the sampling kernels. 3 terms cover the full
-    24-bit f32 mantissa (depth); 2 cover 16 bits — exact for integral
-    color planes (0..255) and ~8e-6 relative otherwise.
-    """
-    acc = None
-    rem = window
-    for _ in range(terms - 1):
-        part = rem.astype(jnp.bfloat16)
-        d = jnp.dot(part, oh_bf16, preferred_element_type=jnp.float32)
-        acc = d if acc is None else acc + d
-        rem = rem - part.astype(jnp.float32)
-    d = jnp.dot(rem.astype(jnp.bfloat16), oh_bf16,
-                preferred_element_type=jnp.float32)
-    return acc + d if acc is not None else d
+
+def zero_window_onehot(ohu_scratch, sh):
+    sh = pl.multiple_of(sh, 32)
+    ohu_scratch[pl.ds(sh, UW), :] = jnp.zeros((UW, V), jnp.float32)
 
 
 def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
@@ -102,13 +106,10 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
 
     # One-hot scratch: only rows [0, UW) are ever written per block; the
     # rest stay zero for the whole grid (zeroed once here), so the 128-row
-    # contraction only ever sees the live window. bf16: a {0,1} one-hot is
-    # exact in bf16 and a bf16 MXU pass is several times cheaper than the
-    # multi-pass f32 dot (the window side is 3-split below — the full
-    # sampling dot stays exact to <=1 ulp of the f32 gather).
+    # contraction only ever sees the live window.
     @pl.when(i == 0)
     def _():
-        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.bfloat16)
+        ohu_scratch[:, :] = jnp.zeros((OHU_ROWS, V), jnp.float32)
 
     # Whole-program skip: trailing programs of a part-full batch (padding
     # slots) pass their rows through untouched instead of running the
@@ -162,31 +163,21 @@ def _tsdf_body(level_ref, u0_ref, v0_ref, shift_ref, valid_ref, scal_ref,
             # slices must be 128-aligned, rolls need not) and keep 128
             # lanes for the contraction.
             sh = shift_ref[i * NB + j]
-            if ablate == "noroll":
-                window = tile_scratch[:, :OHU_ROWS]
-            else:
-                rolled = pltpu.roll(tile_scratch[:, :],
-                                    jax.lax.rem(TILE_U - sh, TILE_U), axis=1)
-                window = rolled[:, :OHU_ROWS]              # (TILE_V, 128)
             ut = ut_ref[j:j + 1]                           # (1, V), in [0,UW)
             vt = vt_ref[j:j + 1]
-            iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, V), 0)
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_V, V), 0)
-            # Invalid voxels (ut == -1) produce an all-zero one-hot column.
             if ablate != "noonehot":
-                ohu_scratch[0:UW, :] = (iota_u == ut).astype(jnp.bfloat16)
+                write_window_onehot(ohu_scratch, ut, sh)
             ohv = (iota_v == vt).astype(jnp.float32)       # (TILE_V, V)
             if ablate == "nodot":
-                tmp = window[:, :1] + jnp.zeros((TILE_V, V), jnp.float32)
-            elif ablate == "f32dot":
-                tmp = jnp.dot(window, ohu_scratch[:, :].astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
-            elif ablate == "bf16dot":
-                tmp = jnp.dot(window.astype(jnp.bfloat16), ohu_scratch[:, :],
-                              preferred_element_type=jnp.float32)
+                tmp = (tile_scratch[:, :1]
+                       + jnp.zeros((TILE_V, V), jnp.float32))
             else:
-                tmp = exact_select_dot(window, ohu_scratch[:, :])
+                tmp = jnp.dot(tile_scratch[:, :], ohu_scratch[:, :],
+                              preferred_element_type=jnp.float32)
             meas_scratch[j:j + 1] = jnp.sum(ohv * tmp, axis=0, keepdims=True)
+            if ablate != "noonehot":
+                zero_window_onehot(ohu_scratch, sh)
 
     # --- vectorized fusion on (8, 512).
     measured = meas_scratch[:, :]
@@ -314,9 +305,11 @@ def footprint_prepass(slots, block_indices, T_L_C, *, camera: Camera,
     u0 = (jnp.round(uc * scale / 128.0).astype(jnp.int32) - 1) * 128
     u0 = jnp.clip(u0, 0, w_l - TILE_U)
     # Footprint window start within the tile (the kernel rolls this to
-    # column 0): centred on the block's projected centre, clamped inside.
+    # column 0): 32-QUANTIZED so the roll decomposes into static lane
+    # rotates (roll_window_q32); utc - shift lands in [16, 48) and every
+    # footprint voxel (spread <= ~9 px) in [7, 57) ⊂ [0, UW).
     utc = jnp.round(uc * scale).astype(jnp.int32) - u0
-    shift = jnp.clip(utc - UW // 2, 0, TILE_U - UW)
+    shift = jnp.clip(((utc - 16) // 32) * 32, 0, TILE_U - UW)
     valid = (slots < cap).astype(jnp.int32)
     safe_slots = jnp.where(slots < cap, slots, 0)
 
@@ -443,7 +436,7 @@ def _run_fusion_kernel(distance, weight, slots, safe_slots, levels, level,
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_V, TILE_U), jnp.float32),  # sampling tile
-            pltpu.VMEM((OHU_ROWS, V), jnp.bfloat16),    # embedded one-hot
+            pltpu.VMEM((OHU_ROWS, V), jnp.float32),     # embedded one-hot
             pltpu.VMEM((NB, V), jnp.float32),           # measured depths
         ],
     )

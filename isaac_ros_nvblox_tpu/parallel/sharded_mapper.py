@@ -606,23 +606,12 @@ class ShardedDeviceMapper:
                 constant_values=INF)
             rows_x = lanes.reshape(-1, V)
 
-            out_x = ed.edt_pass_blockmajor(
-                rows_x, n_lines=n_lines_x, Sb=Sx, band=band, axis=0,
-                binary_input=True, interpret=interp)
-            rows_y = ed._repad(out_x, dims_b, 0, 1, band)
-            n_lines_y, Sy = ed._line_dims(dims_b, 1)
-            out_y = ed.edt_pass_blockmajor(
-                rows_y, n_lines=n_lines_y, Sb=Sy, band=band, axis=1,
-                interpret=interp)
-            rows_z = ed._repad(out_y, dims_b, 1, 2, band)
-            n_lines_z, Sz = ed._line_dims(dims_b, 2)
-            out_z = ed.edt_pass_blockmajor(
-                rows_z, n_lines=n_lines_z, Sb=Sz, band=band, axis=2,
-                interpret=interp)
-
-            # Gather each slot's row back (region-relative cell: local grid
-            # cell + (hx-1, hy-1, 0) since the region starts one ghost +
-            # halo before the owned tile).
+            # Region-relative cell of each slot (local grid cell +
+            # (hx-1, hy-1, 0): the region starts one ghost + halo before
+            # the owned tile). Needed for the output gather AND the
+            # output-side pass pruning (ops/esdf_dense.py r5): this
+            # shard's pass chunks only run where they can influence a
+            # live slot's row.
             cells = (state.block_index_of_slot
                      - state.origin_block[None, :])
             cells = cells.at[:, 0].add(hx - 1).at[:, 1].add(hy - 1)
@@ -630,6 +619,38 @@ class ShardedDeviceMapper:
             in_r = (live & (cells[:, 0] >= 0) & (cells[:, 0] < dims_b[0])
                     & (cells[:, 1] >= 0) & (cells[:, 1] < dims_b[1])
                     & (cells[:, 2] >= 0) & (cells[:, 2] < Dz))
+            lin = ((cells[:, 0] * dims_b[1] + cells[:, 1]) * Dz
+                   + cells[:, 2])
+            lin = jnp.where(in_r, lin, dims_b[0] * dims_b[1] * Dz)
+            alloc = jnp.zeros((dims_b[0] * dims_b[1] * Dz,),
+                              jnp.int32).at[lin].set(
+                1, mode="drop").reshape(dims_b[0], dims_b[1], Dz)
+
+            def _dil(g, axis_i):
+                win = [1, 1, 1]
+                win[axis_i] = 2 * Hb + 1
+                return jax.lax.reduce_window(g, jnp.int32(0), jax.lax.max,
+                                             tuple(win), (1, 1, 1), "SAME")
+
+            need2 = _dil(alloc, 2)
+            need1 = _dil(need2, 1)
+            nr_x = need1.transpose(1, 2, 0).reshape(-1) > 0
+            nr_y = need2.transpose(2, 0, 1).reshape(-1) > 0
+            nr_z = (alloc > 0).reshape(-1)
+
+            out_x = ed.edt_pass_blockmajor(
+                rows_x, nr_x, n_lines=n_lines_x, Sb=Sx, band=band, axis=0,
+                binary_input=True, interpret=interp)
+            rows_y = ed._repad(out_x, dims_b, 0, 1, band)
+            n_lines_y, Sy = ed._line_dims(dims_b, 1)
+            out_y = ed.edt_pass_blockmajor(
+                rows_y, nr_y, n_lines=n_lines_y, Sb=Sy, band=band, axis=1,
+                interpret=interp)
+            rows_z = ed._repad(out_y, dims_b, 1, 2, band)
+            n_lines_z, Sz = ed._line_dims(dims_b, 2)
+            out_z = ed.edt_pass_blockmajor(
+                rows_z, nr_z, n_lines=n_lines_z, Sb=Sz, band=band, axis=2,
+                interpret=interp)
             row_z = ed._row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2],
                                     dims_b, 2, band, padded=False)
             row_z = jnp.clip(row_z, 0, out_z.shape[0] - 1)

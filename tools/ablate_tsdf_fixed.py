@@ -137,8 +137,7 @@ def main():
         return step
 
     kinds = ["empty", "view", "alloc", "pyramid", "prepass", "gather",
-             "nosample", "notile", "noroll", "noonehot", "nodot",
-             "f32dot", "bf16dot", "full"]
+             "nosample", "notile", "noonehot", "nodot", "full"]
     jitted = {}
     for kind in kinds:
         def run(ds, ps, _k=kind):
@@ -182,7 +181,7 @@ def main():
         out["full_ms"] - out["prepass_ms"], 4)
     out["kernel_sampling_ms"] = round(
         out["full_ms"] - out["nosample_ms"], 4)
-    for k in ("notile", "noroll", "noonehot", "nodot", "f32dot", "bf16dot"):
+    for k in ("notile", "noonehot", "nodot"):
         out[f"kernel_{k}_delta_ms"] = round(
             out["full_ms"] - out[k + "_ms"], 4)
     out["n_steps"] = n_steps

@@ -129,7 +129,10 @@ dims = [Lx + 2 * hb * (nx > 1), Ly + 2 * hb * (ny > 1),
         m.config.global_dims[2]]
 collectives = {"esdf_site_ppermute": 2 * int(nx > 1) + 2 * int(ny > 1),
                "esdf_flag_ppermute": 2 * int(nx > 1) + 2 * int(ny > 1),
-               "esdf_need_psum": 1}
+               "esdf_need_psum": 1,
+               # Payload of one site-layer halo exchange (band-width slab
+               # of the (Lx, Ly, Dz, 512) f32 site grid).
+               "site_ppermute_bytes": Lx * hb * dims[2] * 512 * 4}
 print(json.dumps({"n": n, "owned_blocks": m.total_owned_blocks(),
                   "per_frame_ms": round(t_int * 1e3, 2),
                   "esdf_ms": round(t_esdf * 1e3, 2),
@@ -148,19 +151,33 @@ print(json.dumps({"n": n, "owned_blocks": m.total_owned_blocks(),
 """
 
 
+def _run_point(n, taskset_cores=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    cmd = [sys.executable, "-c", WORKER % {"n": n}]
+    if taskset_cores is not None:
+        cmd = ["taskset", "-c", taskset_cores] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"n={n} failed:\n{out.stdout}\n{out.stderr}")
+    return json.loads(line[-1])
+
+
 def main():
     results = []
     for n in (1, 2, 4, 8):
-        env = dict(os.environ)
-        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
-        out = subprocess.run([sys.executable, "-c", WORKER % {"n": n}],
-                             capture_output=True, text=True, env=env,
-                             timeout=1800)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            raise RuntimeError(f"n={n} failed:\n{out.stdout}\n{out.stderr}")
-        results.append(json.loads(line[-1]))
+        results.append(_run_point(n))
         print(results[-1])
+    # Oversubscription CONTROL (VERDICT r4 next #9): the n=8 growth was
+    # attributed to virtual devices sharing the host's cores via an
+    # ASSUMED-linear core normalization. Prove it: rerun n=4 pinned to
+    # ONE core — if per-shard wall ~doubles when cores halve, host
+    # contention (not the sharding machinery) owns the growth.
+    control = _run_point(4, taskset_cores="0")
+    control["pinned_cores"] = 1
+    print("control (n=4, 1 core):", control)
     path = REPO / "SCALING.json"
     pts = {r["n"]: r for r in results}
     diag = ""
@@ -174,6 +191,24 @@ def main():
             f" at constant solve dims; n=8 growth tracks "
             f"host_oversubscription (virtual devices sharing "
             f"{pts[8]['host_cores']} cores), not collective count.")
+    ctrl_ratio = (control["esdf_ms"] / pts[4]["esdf_ms"]
+                  if 4 in pts and pts[4]["esdf_ms"] else float("nan"))
+    cores = pts[4]["host_cores"] if 4 in pts else 0
+    control_block = {
+        "point": control,
+        "esdf_ms_ratio_1core_vs_all": round(ctrl_ratio, 2),
+        "expected_if_core_bound": float(min(4, cores)),
+        "verdict": (
+            "host-contention attribution PROVEN: pinning n=4 to one core "
+            f"scales total ESDF wall by {ctrl_ratio:.2f}x (core-bound "
+            f"prediction {min(4, cores)}x); the n=8 growth is host "
+            "oversubscription, not sharding machinery"
+            if ctrl_ratio > 0.7 * min(4, cores) else
+            "host-contention attribution NOT confirmed: the 1-core "
+            f"control scaled only {ctrl_ratio:.2f}x (core-bound "
+            f"prediction {min(4, cores)}x) — per-shard growth has "
+            "another cause"),
+    }
     path.write_text(json.dumps({
         "mode": "weak scaling: global map extent and scene grow with n, "
                 "per-shard tile and work stay constant",
@@ -182,6 +217,7 @@ def main():
                  "collective counts), not interconnect scaling; see "
                  "bench.py for per-chip numbers"),
         "diagnosis": diag,
+        "oversubscription_control": control_block,
         "points": results}, indent=2))
     print(f"wrote {path}")
 
