@@ -160,7 +160,8 @@ def main():
                                   esdf_region=region))
     _barrier(mapper.replay_frames(depths_r, poses_r, camera, mesh_every=1,
                                   mesh_max_blocks=1024,
-                                  mesh_surface_blocks=512))
+                                  mesh_surface_blocks=512,
+                                  slot_bucket=4096))
     _barrier(mapper.replay_frames(depths_r, poses_r, camera,
                                   colors=colors_r, color_every=1))
     n_blocks = mapper.block_count()
@@ -223,10 +224,13 @@ def main():
     # batch sizes cover every frame with zero pending backlog (verified:
     # mesh_pending empty after replay) at ~40% less static-batch cost
     # than the 2048-block default sized for mesh-every-8 cadence.
+    # slot_bucket bounds the crossing test's full-pool sign-summary reduce
+    # to the live prefix (exactness asserted below, as for ESDF).
     mesh_ms, _ = paired(
         t_replay,
         lambda: t_replay(mesh_every=1, mesh_max_blocks=1024,
-                         mesh_surface_blocks=512))
+                         mesh_surface_blocks=512, slot_bucket=4096))
+    mapper.check_slot_bucket()
     color_ms, _ = paired(
         t_replay, lambda: t_replay(colors=colors_r, color_every=1))
 

@@ -560,11 +560,12 @@ def _esdf_dense_fused(state, layer_a, layer_b, old_sq, origin_b,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_weight", "max_blocks", "with_color",
-                                    "interpret", "max_surface_blocks"))
+                                    "interpret", "max_surface_blocks",
+                                    "slot_bucket"))
 def _mesh_dirty_fused(state, dirty, pending, tsdf_distance, tsdf_weight,
                       color_rows, *, min_weight: float, max_blocks: int,
                       with_color: bool, interpret: bool,
-                      max_surface_blocks: int = 0):
+                      max_surface_blocks: int = 0, slot_bucket: int = 0):
     """compact dirty -> crossing subset -> fused Pallas MC (in-kernel halo).
 
     Two compaction stages: the dirty+neighbor batch (max_blocks) feeds only
@@ -597,8 +598,14 @@ def _mesh_dirty_fused(state, dirty, pending, tsdf_distance, tsdf_weight,
                                       extra=pending)
     nbr8 = wg.neighbor_slots8_of(state, bidx)
     in_batch = slots < cap
-    crossing = in_batch & surface_crossing(tsdf_distance, tsdf_weight, nbr8,
-                                           min_weight=min_weight)
+    # slot_bucket (static, optional): restrict the full-pool sign-summary
+    # reduce to the live pool prefix (allocation is prefix-dense) — the
+    # summaries stream 2 x cap x 2 KB otherwise. Exactness guarded the
+    # same way as the ESDF bucket: check_slot_bucket() after timing
+    # asserts the alloc high-water stayed inside the bucket.
+    sb = slot_bucket if 0 < slot_bucket < cap else cap
+    crossing = in_batch & surface_crossing(
+        tsdf_distance[:sb], tsdf_weight[:sb], nbr8, min_weight=min_weight)
 
     # Second sort-based compaction: crossing rows -> surface batch, dirty
     # rows first (changed blocks mesh before backlog/neighbor refreshes).
@@ -951,7 +958,7 @@ def _replay_scan(state, channels, dirty, esdf_dirty, mesh_pending, depths,
                     color_rows, min_weight=mesh_min_weight,
                     max_blocks=mesh_max_blocks, with_color=with_color,
                     max_surface_blocks=mesh_surface_blocks,
-                    interpret=interpret)
+                    slot_bucket=slot_bucket, interpret=interpret)
                 # DCE guard: fold every kernel output into the digest.
                 dg = (jnp.sum(mc_table[:, 0].astype(jnp.float32))
                       * jnp.float32(1e-6)
@@ -1001,8 +1008,13 @@ def _compact_dirty_impl(state, dirty, *, max_blocks: int, extra=None):
     big = jnp.int32(2 ** 30)
 
     def compact_slots(mask, n_out):
-        keys = jnp.where(mask, jnp.arange(cap, dtype=jnp.int32), big)
-        keys = jax.lax.sort(keys)[:min(n_out, cap)]
+        # Partial sort (top_k of negated ids): same ascending-id output
+        # as the old full cap-length bitonic sort at a fraction of the
+        # cost (r5: tools/ablate_mesh_fixed.py showed the compaction
+        # sorts carrying ~0.13 ms/frame of the mesh stage).
+        neg = jnp.where(mask, -jnp.arange(cap, dtype=jnp.int32), -big)
+        vals, _ = jax.lax.top_k(neg, min(n_out, cap))
+        keys = jnp.where(vals > -big, -vals, big)
         if keys.shape[0] < n_out:
             keys = jnp.concatenate(
                 [keys, jnp.full((n_out - keys.shape[0],), big, jnp.int32)])
@@ -1039,12 +1051,14 @@ def _compact_dirty_impl(state, dirty, *, max_blocks: int, extra=None):
             cells_we[:, 0], cells_we[:, 1], cells_we[:, 2]].set(
             True, mode="drop")
 
-    # Stage 2: compact the expanded CELLS (dense sort — vectorized) and
-    # read their slots with one batch-sized gather.
+    # Stage 2: compact the expanded CELLS (top_k partial sort — replaces
+    # a 131k-key dense bitonic sort) and read their slots with one
+    # batch-sized gather.
     M = dims_t[0] * dims_t[1] * dims_t[2]
     flat = expanded.reshape(-1)
-    ckeys = jnp.where(flat, jnp.arange(M, dtype=jnp.int32), big)
-    ckeys = jax.lax.sort(ckeys)[:min(max_blocks, M)]
+    cneg = jnp.where(flat, -jnp.arange(M, dtype=jnp.int32), -big)
+    cvals, _ = jax.lax.top_k(cneg, min(max_blocks, M))
+    ckeys = jnp.where(cvals > -big, -cvals, big)
     if ckeys.shape[0] < max_blocks:
         ckeys = jnp.concatenate(
             [ckeys, jnp.full((max_blocks - ckeys.shape[0],), big,
