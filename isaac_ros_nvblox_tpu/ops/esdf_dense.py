@@ -78,11 +78,28 @@ def halo_blocks(band: int) -> int:
     return (band + 7) // 8
 
 
-def line_rows(Sb: int, band: int) -> int:
+def line_rows(Sb: int, band: int, lean: bool = False) -> int:
     """Rows per line in pass-input layout: Sb real rows + the shared
     inter-line INF gap, rounded to a multiple of 8 so chunk and line
-    boundaries stay aligned (the round-up rows extend the gap)."""
+    boundaries stay aligned (the round-up rows extend the gap).
+
+    lean=True (r5, BINARY first pass only): no round-to-8 — the
+    log-doubling kernel has no 8-row chunk machinery, line isolation only
+    needs the Hb-row gap (leakage L1 >= 8*Hb + 1 > band, squashed by the
+    final clamp), and the Mosaic block sublane dim NL*Sp is a multiple of
+    8 for any Sp since NL = 8. On short axes this removes up to 7 padded
+    rows per line (a (56,40,14)-block room's z-first pass: 24 -> 17 rows
+    per line, -29% pass-1 volume)."""
+    if lean:
+        return Sb + halo_blocks(band)
     return ((Sb + halo_blocks(band) + 7) // 8) * 8
+
+
+def binary_pass_lean(band: int) -> bool:
+    """Whether the first (binary-seed) pass runs the log-doubling kernel —
+    and may therefore use the lean line layout. Mirrors the dispatch
+    condition in edt_pass_blockmajor."""
+    return (_binary_steps(band)[-1] // 8 + 1) <= _EP
 
 
 # ---------------------------------------------------------------------------
@@ -115,9 +132,9 @@ def _pass_kernel(pflag_ref, cflag_ref, in_ref, out_ref, c_ref, *, Sb: int,
     in_ref:  f32[NL * Sp, 512] NL independent lines, each Sp =
              line_rows(Sb, band) rows with halo/pad rows = INF.
     out_ref: f32[NL * Sb, 512] results for each line's center blocks.
-    c_ref:   f32[8, NL*Sp + 2*EP, 512] scratch: slot 7 holds the input
-             (edge-padded with INF), slots 0..6 the carry-combined shift
-             buffers.
+    c_ref:   f32[1, NL*Sp + 2*EP, 512] scratch: the input, edge-padded
+             with INF (carry-combined shift buffers are built per chunk
+             in registers — see _pass_body).
 
     Exactness of the chunk skip: an output row r only reads candidate rows
     [r - band//8, r + band//8]; the chunk window covers that range for all
@@ -148,44 +165,31 @@ def _pass_body(cflag_ref, in_ref, out_ref, c_ref, i, *, Sb: int, Hb: int,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
     ls = (lane // m) % 8
 
-    # Edge pads (once; rows [EP, EP+L) carry data below).
+    # Edge pads (once; rows [EP, EP+L) hold the padded input).
     inf_pad = jnp.full((_EP, V), INF)
-    for s in range(8):
-        c_ref[s, :_EP] = inf_pad
-        c_ref[s, _EP + L:] = inf_pad
-    c_ref[7, _EP:_EP + L] = x
+    c_ref[0, :_EP] = inf_pad
+    c_ref[0, _EP + L:] = inf_pad
+    c_ref[0, _EP:_EP + L] = x
 
-    # Carry-combined buffers: C_b[r] holds, per lane, the value of the
-    # voxel b steps further along the scan axis (crossing into block row
-    # r+1 for lanes whose intra-block coordinate wraps). Row L-1's carry
-    # reads the pad (INF) — it is a halo row, discarded by the caller.
-    for b in range(1, 8):
-        r_b = pltpu.roll(x, (V - b * m) % V, axis=1)      # x[v + b*m]
-        r_pb = pltpu.roll(x, ((8 - b) * m) % V, axis=1)   # x[v - (8-b)*m]
-        mask = ls < (8 - b)
-        c_ref[b - 1, _EP:_EP + L - 1] = jnp.where(
-            mask, r_b[: L - 1], r_pb[1:L])
-        c_ref[b - 1, _EP + L - 1:_EP + L] = inf_pad[:1]
-        # Row -1's carry: its non-wrapping lanes read x[-1] (edge pad,
-        # INF) but its WRAPPING lanes read x[0]'s rolled values — needed
-        # since the lean layout emits output from global row 0, whose
-        # backward candidates (any a = -r-1 reach) land here.
-        c_ref[b - 1, _EP - 1:_EP] = jnp.where(mask, inf_pad[:1], r_pb[0:1])
-
-    def cand(k, r0, h):
-        b = k % 8                      # python mod: in [0, 8)
-        a = (k - b) // 8               # floor
-        s = 7 if b == 0 else b - 1
-        return c_ref[s, _EP + a + r0:_EP + a + r0 + h]
-
+    # Chunks that emit real line output (compile-time): chunk c covers
+    # rows [8c, 8c+8); rows [Sb, Sp) of each line are the shared INF gap,
+    # so gap-only chunks never compute.
     Sp = L // NL
     CPL = Sp // 8                      # chunks per line (Sp % 8 == 0)
     n_chunks = L // 8
+    A = Hb                             # candidate row reach: ceil(band/8)
+
+    # Carries are built PER CHUNK, IN REGISTERS, inside the chunk's
+    # existing flag gate (round 5): the old whole-block carry scratch made
+    # the 14 rolls a cost proportional to AABB volume even with the chunk
+    # skip (ESDF_PASSES.json: pass2+pass3 carries ~2/3 of 2.96 ms) and
+    # round-tripped 7 (L,512) buffers through VMEM. Here each active
+    # chunk rolls its own (h + 2A + 1)-row window once per b, consumes the
+    # carry immediately (candidates grouped by b = k mod 8, pairing b with
+    # 8-b so the symmetric +k/-k weight sharing still holds), and discards
+    # it — inactive chunks cost nothing at all.
     for c in range(n_chunks):
         ll, cl = c // CPL, c % CPL
-        # Rows of this chunk that are real line output (lines start at
-        # local row 0; rows [Sb, Sp) are the shared INF gap); gap-only
-        # chunks drop at compile time.
         lo = 8 * cl
         hi = min(8 * cl + 8, Sb)
         if lo >= hi:
@@ -196,12 +200,47 @@ def _pass_body(cflag_ref, in_ref, out_ref, c_ref, i, *, Sb: int, Hb: int,
 
         @pl.when(cflag_ref[i * n_chunks + c] > 0)
         def _(r0=r0, h=h, o0=o0):
-            # Symmetric pairing: +k and -k share the weight k^2, so min
-            # them before the add — 3 VPU ops per pair instead of 4.
-            acc = c_ref[7, _EP + r0:_EP + r0 + h] + np.float32(0.0)
-            for k in range(1, band + 1):
-                pair = jnp.minimum(cand(k, r0, h), cand(-k, r0, h))
+            # Window rows [r0-A, r0+h+A]: all candidate rows plus one for
+            # the wrap (carry row r reads w[r] and w[r+1]).
+            W = h + 2 * A + 1
+            w = c_ref[0, _EP + r0 - A:_EP + r0 - A + W]
+
+            def carry(b):
+                # C_b[r] = value b steps further along the scan axis
+                # (crossing into row r+1 for lanes whose intra-block
+                # coordinate wraps); rows [r0-A, r0+h+A).
+                r_b = pltpu.roll(w, (V - b * m) % V, axis=1)   # w[v + b*m]
+                r_pb = pltpu.roll(w, ((8 - b) * m) % V, axis=1)
+                return jnp.where(ls < (8 - b), r_b[:W - 1], r_pb[1:W])
+
+            def rows(buf, k):
+                # Candidate k = 8a + b reads carry rows [r0+a, r0+a+h)
+                # = buf rows [A+a, A+a+h).
+                a = (k - k % 8) // 8
+                return buf[A + a:A + a + h]
+
+            acc = w[A:A + h] + np.float32(0.0)
+            # b = 0 candidates (pure row shifts) read the window directly.
+            for k in range(8, band + 1, 8):
+                pair = jnp.minimum(rows(w, k), rows(w, -k))
                 acc = jnp.minimum(acc, pair + np.float32(k * k))
+            # b and 8-b are the residues of +k and -k for k % 8 == b, so
+            # building both lets every such pair min before the weight add
+            # (3 VPU ops per pair) with only two carries live at a time.
+            for bg in ((1, 7), (2, 6), (3, 5), (4,)):
+                bufs = {b: carry(b) for b in bg}
+                b = bg[0]
+                bufs[8 - b] = bufs[b] if len(bg) == 1 else bufs[8 - b]
+                for k in range(b, band + 1, 8):
+                    pair = jnp.minimum(rows(bufs[b], k),
+                                       rows(bufs[8 - b], -k))
+                    acc = jnp.minimum(acc, pair + np.float32(k * k))
+                for k in range(8 - b, band + 1, 8):
+                    if k % 8 == b:     # b == 4: already handled above
+                        continue
+                    pair = jnp.minimum(rows(bufs[8 - b], k),
+                                       rows(bufs[b], -k))
+                    acc = jnp.minimum(acc, pair + np.float32(k * k))
             out_ref[o0:o0 + h] = acc
 
         @pl.when(cflag_ref[i * n_chunks + c] == 0)
@@ -293,9 +332,10 @@ def _pass1_body(in_ref, out_ref, c_ref, *, Sb: int, Hb: int, band: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_lines", "Sb", "band", "axis",
-                                    "binary_input", "interpret"))
+                                    "binary_input", "lean", "interpret"))
 def edt_pass_blockmajor(rows, needed_rows=None, *, n_lines: int, Sb: int,
                         band: int, axis: int, binary_input: bool = False,
+                        lean: bool = False,
                         interpret: bool = False) -> jnp.ndarray:
     """Banded min-plus over block-major rows.
 
@@ -316,9 +356,10 @@ def edt_pass_blockmajor(rows, needed_rows=None, *, n_lines: int, Sb: int,
     cost tracks allocated blocks (VERDICT r4 next #4).
     """
     Hb = halo_blocks(band)
-    assert Hb <= _EP, (
-        f"band {band} needs {Hb} halo rows > the {_EP}-row kernel edge pad")
-    Sp = line_rows(Sb, band)
+    assert Hb + 1 <= _EP, (
+        f"band {band} needs {Hb}+1 window rows > the {_EP}-row kernel "
+        f"edge pad")
+    Sp = line_rows(Sb, band, lean)
     m = _LANE_STRIDE[axis]
     NL = _NL
     n_grid = (n_lines + NL - 1) // NL
@@ -326,7 +367,10 @@ def edt_pass_blockmajor(rows, needed_rows=None, *, n_lines: int, Sb: int,
     if n_pad != n_lines:
         rows = jnp.concatenate(
             [rows, jnp.full(((n_pad - n_lines) * Sp, V), INF, rows.dtype)])
-    use_binary = binary_input and (_binary_steps(band)[-1] // 8 + 1) <= _EP
+    use_binary = binary_input and binary_pass_lean(band)
+    assert not (lean and not use_binary), (
+        "lean layout requires the log-doubling binary kernel "
+        "(binary_input=True and the doubling reach fitting the edge pad)")
 
     # Per-row occupancy (one bandwidth-bound reduction) feeds both flag
     # granularities: per-program (skip whole 8-line blocks) and, for the
@@ -365,7 +409,7 @@ def edt_pass_blockmajor(rows, needed_rows=None, *, n_lines: int, Sb: int,
     else:
         kern = functools.partial(_pass_kernel, Sb=Sb, Hb=Hb, band=band, m=m,
                                  NL=NL)
-        scratch = [pltpu.VMEM((8, NL * Sp + 2 * _EP, V), jnp.float32)]
+        scratch = [pltpu.VMEM((1, NL * Sp + 2 * _EP, V), jnp.float32)]
         # Candidate input reach per output row is ceil(band/8) rows (the
         # carry buffers C_b read rows r and r+1, so k = 8a+b reaches
         # a + (b > 0) rows) — NOT band//8; the two differ when band is
@@ -418,11 +462,13 @@ def _line_dims(dims_b: Tuple[int, int, int], axis: int):
     return Nx * Ny, Nz
 
 
-def _row_of_cell(cx, cy, cz, dims_b, axis: int, band: int, padded: bool):
+def _row_of_cell(cx, cy, cz, dims_b, axis: int, band: int, padded: bool,
+                 lean: bool = False):
     """Row index of block cell (cx,cy,cz) in the `axis` pass order.
 
     padded=True: the pass INPUT layout (halo rows between lines);
-    padded=False: the compact pass OUTPUT layout."""
+    padded=False: the compact pass OUTPUT layout. `lean` selects the
+    binary-pass gap layout (see line_rows)."""
     Nx, Ny, Nz = dims_b
     if axis == 0:
         line, r, S = cy * Nz + cz, cx, Nx
@@ -431,9 +477,9 @@ def _row_of_cell(cx, cy, cz, dims_b, axis: int, band: int, padded: bool):
     else:
         line, r, S = cx * Ny + cy, cz, Nz
     if padded:
-        # Lean layout: lines start at local row 0; the shared INF gap
-        # trails each line (see halo_blocks).
-        return line * line_rows(S, band) + r
+        # Lines start at local row 0; the shared INF gap trails each line
+        # (see halo_blocks).
+        return line * line_rows(S, band, lean) + r
     return line * S + r
 
 
@@ -496,28 +542,43 @@ def esdf_from_sites_dense(is_site, block_index_of_slot, alloc_count,
 
     g0 = jnp.where(is_site, np.float32(0.0), INF)
 
-    # Seed the x-pass rows with a SCALAR scatter + row gather: scatter only
-    # the slot ids (i32[R], ~KBs) into padded row order, then row-gather
-    # the g0 rows — instead of scattering all `cap` pool rows (f32[cap,512],
-    # tens of MB, mostly dropped) directly.
-    n_lines_x, Sx = _line_dims(dims_b, 0)
-    R = n_lines_x * line_rows(Sx, band)
-    row_x = _row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2], dims_b, 0,
-                         band, padded=True)
-    row_x = jnp.where(in_region, row_x, R)
-    slot_of_row = jnp.full((R,), cap, jnp.int32).at[row_x].set(
+    # Pass ORDER (r5): separable passes commute, so order them so that the
+    # LAST (most output-pruned: needed = allocated only, and carries are
+    # per-active-chunk) pass runs along the LONGEST axis — most chunks per
+    # line means chunk-granular pruning bites hardest (a hollow room's
+    # interior lines keep only their two wall-end chunks), and fewest
+    # lines means least shared-gap padding. The FIRST pass (binary
+    # log-doubling, cheapest per row, whole-program-gated only) takes the
+    # shortest axis; its higher relative gap overhead rides the cheap
+    # kernel.
+    order = tuple(int(a) for a in
+                  np.argsort([Nx, Ny, Nz], kind="stable"))  # short..long
+    first, mid, last = order
+
+    # Seed the first-pass rows with a SCALAR scatter + row gather: scatter
+    # only the slot ids (i32[R], ~KBs) into padded row order, then
+    # row-gather the g0 rows — instead of scattering all `cap` pool rows
+    # (f32[cap,512], tens of MB, mostly dropped) directly.
+    lean = binary_pass_lean(band)
+    n_lines_f, Sf = _line_dims(dims_b, first)
+    R = n_lines_f * line_rows(Sf, band, lean)
+    row_f = _row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2], dims_b,
+                         first, band, padded=True, lean=lean)
+    row_f = jnp.where(in_region, row_f, R)
+    slot_of_row = jnp.full((R,), cap, jnp.int32).at[row_f].set(
         jnp.arange(cap, dtype=jnp.int32), mode="drop")
     ok_r = slot_of_row < cap
-    rows_x = jnp.where(ok_r[:, None],
+    rows_f = jnp.where(ok_r[:, None],
                        g0[jnp.clip(slot_of_row, 0, cap - 1)], INF)
 
-    # Output-side pruning chain (r5): the z-pass only needs outputs at
-    # ALLOCATED blocks; the y-pass only at rows the z-pass's active chunks
-    # can read (allocated dilated by the band along z); the x-pass at that
-    # dilated by the band along y. On hollow rooms (sites on every wall,
-    # air mostly unallocated) this is what makes cost track allocated
-    # blocks instead of AABB volume. Block-granular: Hb = ceil(band/8)
-    # blocks >= band voxels, so the dilation covers every possible read.
+    # Output-side pruning chain (r5): the last pass only needs outputs at
+    # ALLOCATED blocks; the middle pass only at rows the last pass's
+    # active chunks can read (allocated dilated by the band along `last`);
+    # the first pass at that dilated by the band along `mid`. On hollow
+    # rooms (sites on every wall, air mostly unallocated) this is what
+    # makes cost track allocated blocks instead of AABB volume.
+    # Block-granular: Hb = ceil(band/8) blocks >= band voxels, so the
+    # dilation covers every possible read.
     Hb = halo_blocks(band)
     lin = (cells[:, 0] * Ny + cells[:, 1]) * Nz + cells[:, 2]
     lin = jnp.where(in_region, lin, Nx * Ny * Nz)
@@ -530,30 +591,37 @@ def esdf_from_sites_dense(is_site, block_index_of_slot, alloc_count,
         return jax.lax.reduce_window(g, jnp.int32(0), jax.lax.max,
                                      tuple(win), (1, 1, 1), "SAME")
 
-    need3 = alloc
-    need2 = _dilate_axis(need3, 2)
-    need1 = _dilate_axis(need2, 1)
-    nr_x = need1.transpose(1, 2, 0).reshape(-1) > 0   # (cy,cz) lines, cx
-    nr_y = need2.transpose(2, 0, 1).reshape(-1) > 0   # (cz,cx) lines, cy
-    nr_z = (need3 > 0).reshape(-1)                    # (cx,cy) lines, cz
+    # Line-major orderings per pass axis (see _row_of_cell): rows of the
+    # compact output of a pass over axis a enumerate (line dims..., a).
+    _line_perm = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
 
-    out_x = edt_pass_blockmajor(rows_x, nr_x, n_lines=n_lines_x, Sb=Sx,
-                                band=band, axis=0, binary_input=True,
+    def _nr(g, axis_i):
+        return g.transpose(_line_perm[axis_i]).reshape(-1) > 0
+
+    need_last = alloc
+    need_mid = _dilate_axis(need_last, last)
+    need_first = _dilate_axis(need_mid, mid)
+
+    out_f = edt_pass_blockmajor(rows_f, _nr(need_first, first),
+                                n_lines=n_lines_f, Sb=Sf, band=band,
+                                axis=first, binary_input=True, lean=lean,
                                 interpret=interpret)
-    rows_y = _repad(out_x, dims_b, 0, 1, band)
-    n_lines_y, Sy = _line_dims(dims_b, 1)
-    out_y = edt_pass_blockmajor(rows_y, nr_y, n_lines=n_lines_y, Sb=Sy,
-                                band=band, axis=1, interpret=interpret)
-    rows_z = _repad(out_y, dims_b, 1, 2, band)
-    n_lines_z, Sz = _line_dims(dims_b, 2)
-    out_z = edt_pass_blockmajor(rows_z, nr_z, n_lines=n_lines_z, Sb=Sz,
-                                band=band, axis=2, interpret=interpret)
+    rows_m = _repad(out_f, dims_b, first, mid, band)
+    n_lines_m, Sm = _line_dims(dims_b, mid)
+    out_m = edt_pass_blockmajor(rows_m, _nr(need_mid, mid),
+                                n_lines=n_lines_m, Sb=Sm, band=band,
+                                axis=mid, interpret=interpret)
+    rows_l = _repad(out_m, dims_b, mid, last, band)
+    n_lines_l, Sl = _line_dims(dims_b, last)
+    out_l = edt_pass_blockmajor(rows_l, _nr(need_last, last),
+                                n_lines=n_lines_l, Sb=Sl, band=band,
+                                axis=last, interpret=interpret)
 
-    # Gather back to slot rows (compact z-order row of each slot's cell).
-    row_z = _row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2], dims_b, 2,
-                         band, padded=False)
-    row_z = jnp.clip(row_z, 0, out_z.shape[0] - 1)
-    sq = out_z[row_z]
+    # Gather back to slot rows (compact last-pass row of each slot's cell).
+    row_l = _row_of_cell(cells[:, 0], cells[:, 1], cells[:, 2], dims_b,
+                         last, band, padded=False)
+    row_l = jnp.clip(row_l, 0, out_l.shape[0] - 1)
+    sq = out_l[row_l]
     sq = jnp.where(in_region[:, None], sq, INF)
     max_sq = np.float32(band * band)
     return jnp.where(sq <= max_sq, sq, INF)
@@ -602,16 +670,17 @@ def esdf_2d_from_sites(is_site, voxel_z_ok, block_index_of_slot, alloc_count,
             & (cells[:, 0] >= 0) & (cells[:, 0] < Nx)
             & (cells[:, 1] >= 0) & (cells[:, 1] < Ny))
 
+    lean = binary_pass_lean(band)
     n_lines_x, Sx = _line_dims(dims3, 0)
-    rows_x = jnp.full((n_lines_x * line_rows(Sx, band), V), INF)
+    rows_x = jnp.full((n_lines_x * line_rows(Sx, band, lean), V), INF)
     row_x = _row_of_cell(cells[:, 0], cells[:, 1], 0, dims3, 0, band,
-                         padded=True)
+                         padded=True, lean=lean)
     row_x = jnp.where(live, row_x, rows_x.shape[0])
     # Scatter-min: several z blocks of one column share a 2-D row.
     rows_x = rows_x.at[row_x].min(g0, mode="drop")
 
     out_x = edt_pass_blockmajor(rows_x, n_lines=n_lines_x, Sb=Sx, band=band,
-                                axis=0, binary_input=True,
+                                axis=0, binary_input=True, lean=lean,
                                 interpret=interpret)
     rows_y = _repad(out_x, dims3, 0, 1, band)
     n_lines_y, Sy = _line_dims(dims3, 1)

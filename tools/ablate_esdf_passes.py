@@ -35,6 +35,12 @@ def main():
 
     INF = ed.INF
 
+    # Mirrors esdf_from_sites_dense's r5 pass order: shortest axis first
+    # (binary), longest last (most output-pruned).
+    order = tuple(int(a) for a in np.argsort([Nx, Ny, Nz], kind="stable"))
+    first, mid, last = order
+    print("pass order (axes):", order)
+
     def build_stage_fn(upto):
         def solve(g_site):
             cells_j = cells - origin[None, :]
@@ -44,19 +50,20 @@ def main():
                          & (cells_j[:, 1] >= 0) & (cells_j[:, 1] < Ny)
                          & (cells_j[:, 2] >= 0) & (cells_j[:, 2] < Nz))
             g0 = jnp.where(g_site, np.float32(0.0), INF)
-            n_lines_x, Sx = ed._line_dims(dims_b, 0)
-            R = n_lines_x * ed.line_rows(Sx, band)
-            row_x = ed._row_of_cell(cells_j[:, 0], cells_j[:, 1],
-                                    cells_j[:, 2], dims_b, 0, band,
-                                    padded=True)
-            row_x = jnp.where(in_region, row_x, R)
-            slot_of_row = jnp.full((R,), cap, jnp.int32).at[row_x].set(
+            lean = ed.binary_pass_lean(band)
+            n_lines_f, Sf = ed._line_dims(dims_b, first)
+            R = n_lines_f * ed.line_rows(Sf, band, lean)
+            row_f = ed._row_of_cell(cells_j[:, 0], cells_j[:, 1],
+                                    cells_j[:, 2], dims_b, first, band,
+                                    padded=True, lean=lean)
+            row_f = jnp.where(in_region, row_f, R)
+            slot_of_row = jnp.full((R,), cap, jnp.int32).at[row_f].set(
                 jnp.arange(cap, dtype=jnp.int32), mode="drop")
             ok_r = slot_of_row < cap
-            rows_x = jnp.where(ok_r[:, None],
+            rows_f = jnp.where(ok_r[:, None],
                                g0[jnp.clip(slot_of_row, 0, cap - 1)], INF)
             if upto == "seed":
-                return jnp.sum(rows_x[:, :1])
+                return jnp.sum(rows_f[:, :1])
             Hb = ed.halo_blocks(band)
             lin = (cells_j[:, 0] * Ny + cells_j[:, 1]) * Nz + cells_j[:, 2]
             lin = jnp.where(in_region, lin, Nx * Ny * Nz)
@@ -68,37 +75,42 @@ def main():
                 win[ax] = 2 * Hb + 1
                 return jax.lax.reduce_window(g, jnp.int32(0), jax.lax.max,
                                              tuple(win), (1, 1, 1), "SAME")
-            need2 = dil(alloc_g, 2)
-            need1 = dil(need2, 1)
-            nr_x = need1.transpose(1, 2, 0).reshape(-1) > 0
-            nr_y = need2.transpose(2, 0, 1).reshape(-1) > 0
-            nr_z = (alloc_g > 0).reshape(-1)
-            out_x = ed.edt_pass_blockmajor(rows_x, nr_x, n_lines=n_lines_x,
-                                           Sb=Sx, band=band, axis=0,
-                                           binary_input=True)
+            _line_perm = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
+
+            def nr(g, ax):
+                return g.transpose(_line_perm[ax]).reshape(-1) > 0
+            need_last = alloc_g
+            need_mid = dil(need_last, last)
+            need_first = dil(need_mid, mid)
+            out_f = ed.edt_pass_blockmajor(rows_f, nr(need_first, first),
+                                           n_lines=n_lines_f,
+                                           Sb=Sf, band=band, axis=first,
+                                           binary_input=True, lean=lean)
             if upto == "pass1":
-                return jnp.sum(out_x[:, :1])
-            rows_y = ed._repad(out_x, dims_b, 0, 1, band)
+                return jnp.sum(out_f[:, :1])
+            rows_m = ed._repad(out_f, dims_b, first, mid, band)
             if upto == "repad1":
-                return jnp.sum(rows_y[:, :1])
-            n_lines_y, Sy = ed._line_dims(dims_b, 1)
-            out_y = ed.edt_pass_blockmajor(rows_y, nr_y, n_lines=n_lines_y,
-                                           Sb=Sy, band=band, axis=1)
+                return jnp.sum(rows_m[:, :1])
+            n_lines_m, Sm = ed._line_dims(dims_b, mid)
+            out_m = ed.edt_pass_blockmajor(rows_m, nr(need_mid, mid),
+                                           n_lines=n_lines_m,
+                                           Sb=Sm, band=band, axis=mid)
             if upto == "pass2":
-                return jnp.sum(out_y[:, :1])
-            rows_z = ed._repad(out_y, dims_b, 1, 2, band)
+                return jnp.sum(out_m[:, :1])
+            rows_l = ed._repad(out_m, dims_b, mid, last, band)
             if upto == "repad2":
-                return jnp.sum(rows_z[:, :1])
-            n_lines_z, Sz = ed._line_dims(dims_b, 2)
-            out_z = ed.edt_pass_blockmajor(rows_z, nr_z, n_lines=n_lines_z,
-                                           Sb=Sz, band=band, axis=2)
+                return jnp.sum(rows_l[:, :1])
+            n_lines_l, Sl = ed._line_dims(dims_b, last)
+            out_l = ed.edt_pass_blockmajor(rows_l, nr(need_last, last),
+                                           n_lines=n_lines_l,
+                                           Sb=Sl, band=band, axis=last)
             if upto == "pass3":
-                return jnp.sum(out_z[:, :1])
-            row_z = ed._row_of_cell(cells_j[:, 0], cells_j[:, 1],
-                                    cells_j[:, 2], dims_b, 2, band,
+                return jnp.sum(out_l[:, :1])
+            row_l = ed._row_of_cell(cells_j[:, 0], cells_j[:, 1],
+                                    cells_j[:, 2], dims_b, last, band,
                                     padded=False)
-            row_z = jnp.clip(row_z, 0, out_z.shape[0] - 1)
-            sq = out_z[row_z]
+            row_l = jnp.clip(row_l, 0, out_l.shape[0] - 1)
+            sq = out_l[row_l]
             return jnp.sum(jnp.where(in_region[:, None], sq, INF)[:, :1])
 
         def run(ks):

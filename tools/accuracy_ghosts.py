@@ -1,0 +1,142 @@
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+"""Ghost-vertex diagnosis for the cluttered-scene accuracy proxy (r5).
+
+ACCURACY_ATTRIBUTION.json (r4 bench) shows a 38.9k-vertex spike in the
+last (clipped) error bin — ~5% of vertices at >= 0.39 m from ANY surface,
+attributed to the RoomBox — plus spikes at discrete intermediate bins.
+Hypothesis: occlusion-silhouette VEILS — zero crossings fused in mid-air
+between occluders and the walls behind them, where adjacent rays disagree
+(the discrete bins = the discrete box->wall gap distances). Veils get few
+consistent observations, so their fused weight is far below that of real
+surfaces, and the reference's OPERATIONAL config kills them with
+`projective_integrator_weighting_mode: inverse_square_tsdf_distance_penalty`
++ `mesh_integrator_min_weight: 0.1` (nvblox_base.yaml:78,100) — vs the
+library defaults (dropoff weighting, min_weight 1e-4) the bench used.
+
+This tool (1) confirms the weight signature of ghost vertices under the
+default config, and (2) measures the accuracy metrics under the
+reference-operational config. Writes ACCURACY_GHOSTS.json.
+"""
+import dataclasses
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    from isaac_ros_nvblox_tpu.core.world_grid import WorldGridConfig
+    from isaac_ros_nvblox_tpu.mapper.device_mapper import DeviceMapper
+    from isaac_ros_nvblox_tpu.mapper.params import MapperParams
+    from isaac_ros_nvblox_tpu.models.camera import Camera
+    from isaac_ros_nvblox_tpu.models.scene import (cluttered_multi_room_scene,
+                                                   look_at_pose, render_depth)
+    from isaac_ros_nvblox_tpu.ops.tsdf import (TsdfIntegratorParams,
+                                               WeightingFunctionType)
+    from isaac_ros_nvblox_tpu.utils.metrics import mesh_accuracy
+
+    camera = Camera(fx=500.0, fy=500.0, cx=319.5, cy=239.5,
+                    width=640, height=480)
+    voxel = 0.05
+    scene = cluttered_multi_room_scene()
+    depths, poses = [], []
+    for room_cx in (-3.0, 3.0):
+        for k in range(12):
+            a = 2 * np.pi * k / 12
+            eye = (room_cx + 1.6 * np.cos(a), 1.4 * np.sin(a), 1.3)
+            T = look_at_pose(eye, (room_cx, 0.0, 1.2))
+            poses.append(jnp.asarray(T, jnp.float32))
+            depths.append(render_depth(scene, camera, poses[-1]))
+    depths = jnp.stack(depths)
+    poses = jnp.stack(poses)
+
+    def run(params):
+        m = DeviceMapper(
+            voxel_size_m=voxel, params=params,
+            world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
+                                  origin_block=(-32, -32, -8)),
+            enable_color=False, enable_esdf=False,
+            max_blocks_per_frame=4096)
+        float(jnp.sum(jnp.atleast_1d(m.replay_frames(depths, poses, camera))[..., :1]))
+        return m, mesh_accuracy(m, scene)
+
+    out = {}
+    configs = {
+        "library_defaults_r4_bench": MapperParams(
+            projective=TsdfIntegratorParams(
+                max_integration_distance_m=7.0)),
+        "reference_operational": dataclasses.replace(
+            MapperParams(projective=TsdfIntegratorParams(
+                max_integration_distance_m=7.0,
+                weighting_mode=(WeightingFunctionType
+                                .INVERSE_SQUARE_TSDF_DISTANCE_PENALTY))),
+        ),
+    }
+    # nvblox_base.yaml:100 mesh_integrator_min_weight: 0.1
+    cfg_ref = configs["reference_operational"]
+    configs["reference_operational"] = dataclasses.replace(
+        cfg_ref, mesh=dataclasses.replace(cfg_ref.mesh, min_weight=0.1))
+
+    for name, params in configs.items():
+        m, acc = run(params)
+        rec = {k: acc[k] for k in
+               ("mesh_surface_err_m", "mesh_precision", "mesh_completeness",
+                "mesh_fscore", "mesh_vertices", "tau_m")}
+        hist = acc["err_hist_quarter_voxel_bins"]
+        rec["ghost_frac_beyond_8bins_0p1m"] = round(
+            sum(hist[8:]) / max(sum(hist), 1), 4)
+        rec["ghost_frac_last_bin_0p39m"] = round(
+            hist[-1] / max(sum(hist), 1), 4)
+
+        # Weight signature: per-vertex fused TSDF weight at the vertex's
+        # voxel, split ghost (err > 0.1 m) vs surface (err <= tau).
+        bidx = np.asarray(m.state.block_index_of_slot)
+        w = np.asarray(m.channels["tsdf_weight"])
+        nb = int(m.block_count())
+        dims = (64, 64, 32)
+        org = np.asarray([-32, -32, -8])
+        slot3d = np.full(dims, -1, np.int64)
+        cells = bidx[:nb] - org
+        inb = np.all((cells >= 0) & (cells < np.asarray(dims)), axis=1)
+        slot3d[cells[inb, 0], cells[inb, 1], cells[inb, 2]] = \
+            np.nonzero(inb)[0]
+        gw, sw = [], []
+        for verts, colors, valid, _ in m.update_mesh_device(chunk=1024):
+            vv = np.asarray(verts).reshape(-1, 3, 3).reshape(-1, 3)
+            ok = np.repeat(np.asarray(valid).reshape(-1), 3).astype(bool)
+            d = np.abs(np.asarray(scene.sdf(jnp.asarray(vv))))
+            cell = np.floor(vv / voxel).astype(np.int64)
+            blk, loc = (cell >> 3) - org, cell & 7
+            lane = loc[:, 0] * 64 + loc[:, 1] * 8 + loc[:, 2]
+            bin_ok = np.all((blk >= 0) & (blk < np.asarray(dims)), axis=1)
+            blk_c = np.clip(blk, 0, np.asarray(dims) - 1)
+            slot = slot3d[blk_c[:, 0], blk_c[:, 1], blk_c[:, 2]]
+            hit = ok & bin_ok & (slot >= 0)
+            wv = np.zeros(len(vv), np.float32)
+            wv[hit] = w[slot[hit], lane[hit]]
+            gw.append(wv[ok & (d > 0.1)])
+            sw.append(wv[ok & (d <= acc["tau_m"])])
+        gw = np.concatenate(gw) if gw else np.zeros(0)
+        sw = np.concatenate(sw) if sw else np.zeros(0)
+        rec["ghost_vertex_weight_median"] = round(
+            float(np.median(gw)), 4) if len(gw) else None
+        rec["surface_vertex_weight_median"] = round(
+            float(np.median(sw)), 4) if len(sw) else None
+        rec["n_ghost_verts"] = int(len(gw))
+        out[name] = rec
+        print(name, json.dumps(rec), flush=True)
+
+    out["note"] = (
+        "ghost = vertex > 0.1 m from every primitive surface; reference "
+        "operational config = inverse_square_tsdf_distance_penalty "
+        "weighting (nvblox_base.yaml:78) + mesh min_weight 0.1 "
+        "(nvblox_base.yaml:100)")
+    pathlib.Path("/root/repo/ACCURACY_GHOSTS.json").write_text(
+        json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

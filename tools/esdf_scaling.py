@@ -70,49 +70,76 @@ def _site_map(dims_b, cells, cap):
     return (jnp.asarray(is_site), jnp.asarray(cells_np), n, dims_b)
 
 
-def _occupied_program_frac(is_site_np, cells_np, n, dims_b, band):
-    """Fraction of pass-1 (x-axis) kernel programs with any occupied line
-    (the quantity the scalar-prefetch skip keys on)."""
-    from isaac_ros_nvblox_tpu.ops.esdf_dense import _NL
-    Nx, Ny, Nz = dims_b
-    has_site = is_site_np[:n].any(axis=1)
-    occ = np.zeros((Ny, Nz), bool)
-    for s in range(n):
-        if has_site[s]:
-            occ[cells_np[s, 1], cells_np[s, 2]] = True
-    lines = occ.reshape(-1)  # x-pass line order: (cy, cz)
-    n_prog = (len(lines) + _NL - 1) // _NL
-    pad = np.zeros(n_prog * _NL, bool)
-    pad[:len(lines)] = lines
-    return float(pad.reshape(n_prog, _NL).any(axis=1).mean())
+def _last_pass_model(is_site_np, cells_np, n, dims_b, band):
+    """Block-granular model of the LAST banded pass's skip flags (r5
+    order: shortest axis first/binary, longest last): a chunk runs iff
+    (a) some input row in its +-ceil(band/8)-row candidate window can be
+    finite — sites dilated by Hb blocks along the first+mid axes (the
+    reach of passes 1-2) — AND (b) some output row in the chunk is
+    NEEDED (allocated; needed-output pruning, esdf_from_sites_dense).
+    Returns (program_frac, chunk_frac): fraction of 8-line programs with
+    any active chunk, and of 8-row chunks active, in the padded last-pass
+    layout (carries and candidates are per-active-chunk since r5, so
+    chunk_frac IS the work fraction)."""
+    from isaac_ros_nvblox_tpu.ops.esdf_dense import (_NL, halo_blocks,
+                                                     line_rows)
+    dims = list(dims_b)
+    order = [int(a) for a in np.argsort(dims, kind="stable")]
+    first, mid, last = order
+    Sl = dims[last]
+    Hb = halo_blocks(band)
 
-
-def _active_chunk_frac(is_site_np, cells_np, n, dims_b, band):
-    """Fraction of x-pass 8-row output CHUNKS that are active under the
-    round-4 chunk-granular skip (ops/esdf_dense.py _pass_kernel cflags):
-    a chunk runs iff any input row within its +-band//8 candidate window
-    is occupied. This is the quantity that replaced the per-program line
-    flag (r3: xpass_occupied_program_frac was 1.0 on all rooms — every
-    program held SOME site; chunks inside occupied lines still skip)."""
-    from isaac_ros_nvblox_tpu.ops.esdf_dense import _NL, line_rows
-    Nx, Ny, Nz = dims_b
-    Sp = line_rows(Nx, band)
-    # Lean layout (r4): lines start at local row 0 (esdf_dense._row_of_cell)
-    A = (band + 7) // 8  # mirrors the kernel's ceil-div candidate reach
+    alloc = np.zeros(tuple(dims), bool)
+    occ = np.zeros(tuple(dims), bool)
     has = is_site_np[:n].any(axis=1)
-    occ = np.zeros((Ny * Nz, Sp), bool)
     for s in range(n):
+        c = tuple(cells_np[s])
+        alloc[c] = True
         if has[s]:
-            line = cells_np[s, 1] * Nz + cells_np[s, 2]
-            occ[line, cells_np[s, 0]] = True
-    n_lines_pad = ((Ny * Nz + _NL - 1) // _NL) * _NL
-    rows = np.zeros(n_lines_pad * Sp, bool)
-    rows[:Ny * Nz * Sp] = occ.reshape(-1)
-    ext = np.pad(rows, (A, A))
-    n_chunks = len(rows) // 8
-    active = np.asarray([ext[c * 8:c * 8 + 8 + 2 * A].any()
-                         for c in range(n_chunks)])
-    return float(active.mean())
+            occ[c] = True
+    # Input occupancy of the last pass: sites spread by <= band voxels
+    # (<= Hb blocks) along the first and mid axes by passes 1-2.
+    for ax in (first, mid):
+        acc = occ.copy()
+        for d in range(1, Hb + 1):
+            for sgn in (-d, d):
+                acc |= _shift(occ, sgn, ax)
+        occ = acc
+
+    _line_perm = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
+    occ_l = occ.transpose(_line_perm[last]).reshape(-1, Sl)
+    need_l = alloc.transpose(_line_perm[last]).reshape(-1, Sl)
+    n_lines = occ_l.shape[0]
+    Sp = line_rows(Sl, band)
+    n_lines_pad = ((n_lines + _NL - 1) // _NL) * _NL
+
+    rows_occ = np.zeros((n_lines_pad, Sp), bool)
+    rows_occ[:n_lines, :Sl] = occ_l
+    rows_need = np.zeros((n_lines_pad, Sp), bool)
+    rows_need[:n_lines, :Sl] = need_l
+    flat_occ = rows_occ.reshape(-1)
+    flat_need = rows_need.reshape(-1)
+    A = Hb
+    ext = np.pad(flat_occ, (A, A))
+    n_chunks = len(flat_occ) // 8
+    active = np.asarray(
+        [ext[c * 8:c * 8 + 8 + 2 * A].any()
+         and flat_need[c * 8:c * 8 + 8].any() for c in range(n_chunks)])
+    cpl = Sp // 8
+    prog = active.reshape(-1, _NL * cpl).any(axis=1)
+    return float(prog.mean()), float(active.mean())
+
+
+def _shift(a, d, axis):
+    out = np.zeros_like(a)
+    src = [slice(None)] * 3
+    dst = [slice(None)] * 3
+    if d > 0:
+        src[axis], dst[axis] = slice(0, a.shape[axis] - d), slice(d, None)
+    else:
+        src[axis], dst[axis] = slice(-d, None), slice(0, a.shape[axis] + d)
+    out[tuple(dst)] = a[tuple(src)]
+    return out
 
 
 def main():
@@ -175,15 +202,15 @@ def main():
         ms = best * 1e3 / n_steps
 
         Nx, Ny, Nz = dims_b
+        pf, cf = _last_pass_model(np.asarray(is_site), np.asarray(cells),
+                                  n, dims_b, band)
         results.append({
             "scene": name,
             "allocated_blocks": n,
             "aabb_block_volume": Nx * Ny * Nz,
             "occupied_frac": round(n / (Nx * Ny * Nz), 4),
-            "xpass_occupied_program_frac": round(_occupied_program_frac(
-                np.asarray(is_site), np.asarray(cells), n, dims_b, band), 4),
-            "xpass_active_chunk_frac": round(_active_chunk_frac(
-                np.asarray(is_site), np.asarray(cells), n, dims_b, band), 4),
+            "lastpass_active_program_frac": round(pf, 4),
+            "lastpass_active_chunk_frac": round(cf, 4),
             "esdf_ms": round(ms, 3),
         })
         print(results[-1])
@@ -205,7 +232,11 @@ def main():
         "corridor_vs_aabb_volume_prediction": round(
             rooms["two_rooms_gap"]["esdf_ms"] / vol_pred, 3),
         "note": "corridor ratio < 1 means cost tracks occupied lines, "
-                "not AABB volume (per-program pruning active)",
+                "not AABB volume (pruning active). lastpass_* model the "
+                "r5 longest-axis-last banded pass: chunk flag = input "
+                "occupancy window AND needed-output (allocated); since "
+                "r5 carries+candidates are per-active-chunk, chunk_frac "
+                "approximates the work fraction.",
         "device": str(jax.devices()[0]),
     }
     out_path = Path(__file__).resolve().parent.parent / "ESDF_SCALING.json"
