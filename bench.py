@@ -583,8 +583,25 @@ def main():
                                                    look_at_pose)
     from isaac_ros_nvblox_tpu.utils.metrics import mesh_accuracy
     acc_scene = cluttered_multi_room_scene()
+    # Anti-veil config (r5, ACCURACY_GHOSTS.json): the r4 0.0448 m mean
+    # error was 5% occlusion-silhouette veil vertices (mid-air zero
+    # crossings at box->wall silhouettes; median fused weight 0.024 vs
+    # 0.091 for true surface). The reference's operational config kills
+    # them the same way — tsdf-distance-penalty weighting + a mesh
+    # min_weight (nvblox_base.yaml:78,100); min_weight is scaled to 0.02
+    # for this trajectory's 12-view-per-room observation counts (the
+    # swept 0.1 value culls half the genuinely-thin-coverage surface).
+    import dataclasses as _dc
+
+    from isaac_ros_nvblox_tpu.ops.tsdf import WeightingFunctionType
+    acc_params = MapperParams(projective=dataclasses.replace(
+        big_params.projective,
+        weighting_mode=(WeightingFunctionType
+                        .INVERSE_SQUARE_TSDF_DISTANCE_PENALTY)))
+    acc_params = _dc.replace(
+        acc_params, mesh=_dc.replace(acc_params.mesh, min_weight=0.02))
     acc_mapper = DeviceMapper(
-        voxel_size_m=voxel_size, params=big_params,
+        voxel_size_m=voxel_size, params=acc_params,
         world=WorldGridConfig(dims=(64, 64, 32), capacity=16384,
                               origin_block=(-32, -32, -8)),
         enable_color=False, enable_esdf=False, max_blocks_per_frame=4096)

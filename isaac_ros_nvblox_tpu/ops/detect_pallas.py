@@ -65,9 +65,8 @@ def _level_shapes(H: int, W: int):
     return shapes
 
 
-def _kernel(level_ref, u0_ref, v0_ref, shift_ref, active_ref, scal_ref,
-            p0, p1, p2, p3, p4, ut_ref, vt_ref, pcz_ref,
-            upx_ref, vpx_ref, cxv_ref, cyv_ref, czv_ref, hc_ref,
+def _kernel(level_ref, u0_ref, v0_ref, shift_ref, active_ref,
+            p0, p1, p2, p3, p4, ut_ref, vt_ref, dlo_ref, dhi_ref, hc_ref,
             m0, m1, m2, m3, m4, tile_scratch, ohu_scratch, *,
             mask_shapes):
     i = pl.program_id(0)
@@ -85,14 +84,6 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, active_ref, scal_ref,
 
     @pl.when(nact > 0)
     def _():
-        vs = scal_ref[0]
-        maxd = scal_ref[1]
-        fx, fy, cx, cy = scal_ref[2], scal_ref[3], scal_ref[4], scal_ref[5]
-        # T_L_C rotation (row-major) + translation, in voxel units for the
-        # containment test.
-        R = [[scal_ref[6 + 3 * r + c] for c in range(3)] for r in range(3)]
-        t = [scal_ref[15], scal_ref[16], scal_ref[17]]
-
         for j in range(NB):
             @pl.when(active_ref[i * NB + j] > 0)
             def _(j=j):
@@ -115,22 +106,14 @@ def _kernel(level_ref, u0_ref, v0_ref, shift_ref, active_ref, scal_ref,
                               preferred_element_type=jnp.float32)
                 d = jnp.sum(ohv * tmp, axis=0, keepdims=True)   # (1, V)
 
-                # Containment: backproject the sampled pixel at the sampled
-                # depth and require the point to land inside THIS voxel.
-                pcz = pcz_ref[j:j + 1]
-                ok = ((ut >= 0) & (d > 0.0) & (pcz > 0.0) & (d <= maxd))
-                px = (upx_ref[j:j + 1] - cx) / fx * d
-                py = (vpx_ref[j:j + 1] - cy) / fy * d
-                lx = (R[0][0] * px + R[0][1] * py + R[0][2] * d + t[0]) / vs
-                ly = (R[1][0] * px + R[1][1] * py + R[1][2] * d + t[1]) / vs
-                lz = (R[2][0] * px + R[2][1] * py + R[2][2] * d + t[2]) / vs
-                inb = ((lx - cxv_ref[j:j + 1] >= -0.5)
-                       & (lx - cxv_ref[j:j + 1] < 0.5)
-                       & (ly - cyv_ref[j:j + 1] >= -0.5)
-                       & (ly - cyv_ref[j:j + 1] < 0.5)
-                       & (lz - czv_ref[j:j + 1] >= -0.5)
-                       & (lz - czv_ref[j:j + 1] < 0.5))
-                dyn = (hc_ref[j:j + 1] * (ok & inb).astype(jnp.float32))
+                # Containment as a precomputed per-voxel depth interval
+                # (r5): the sampled point lands inside THIS voxel iff
+                # d in [d_lo, d_hi) — the whole backproject+rotate+bounds
+                # chain (~30 (1,512) VPU ops/block, 7/8 sublanes wasted)
+                # is batched (N, V) XLA outside the kernel.
+                dyn = (hc_ref[j:j + 1]
+                       * ((ut >= 0) & (d >= dlo_ref[j:j + 1])
+                          & (d < dhi_ref[j:j + 1])).astype(jnp.float32))
 
                 # Transposed one-hot scatter: M[r, c] = sum_v ohv*dyn*ohu.
                 # With the 256-row tile-space one-hot, M's columns map
@@ -196,15 +179,48 @@ def detect_dynamic_pallas(state, high_confidence, depth, T_L_C, slots,
     cyv = bi[:, 1:2] * 8.0 + ((lane // 8) % 8).astype(jnp.float32) + 0.5
     czv = bi[:, 2:3] * 8.0 + (lane % 8).astype(jnp.float32) + 0.5
 
+    # Containment -> per-voxel depth interval (r5): the backprojected
+    # point along the sampled pixel's ray is p(d) = (pxs d, pys d, d) in
+    # camera, so each local voxel coordinate is affine in d:
+    # l_i(d) = a_i d + b_i (voxel units). |l_i - c_i| within the +-0.5
+    # bound is a d-interval per axis; their intersection with (0, maxd]
+    # and the behind-camera guard leaves the kernel two compares per
+    # voxel. (Interval endpoints round through a division, so voxels
+    # exactly ON a face boundary may flip vs the direct affine test —
+    # below the kernel's voxel-granular contract; see module docstring.)
+    vs = jnp.float32(voxel_size_m)
+    R = T_L_C[:3, :3].astype(jnp.float32)
+    t = T_L_C[:3, 3].astype(jnp.float32)
+    pxs = (u_px - camera.cx) / camera.fx          # (N, V)
+    pys = (v_px - camera.cy) / camera.fy
+    INFP = jnp.float32(3e38)
+    d_lo = jnp.full_like(pxs, 1e-6)               # d > 0
+    d_hi = jnp.full_like(pxs, np.nextafter(np.float32(max_depth_m),
+                                           np.float32(np.inf)))  # d <= maxd
+    for a_i, b_i, c_i in (
+            (R[0, 0] * pxs + R[0, 1] * pys + R[0, 2], t[0] / vs, cxv),
+            (R[1, 0] * pxs + R[1, 1] * pys + R[1, 2], t[1] / vs, cyv),
+            (R[2, 0] * pxs + R[2, 1] * pys + R[2, 2], t[2] / vs, czv)):
+        a_i = a_i / vs
+        lo_raw = (c_i - 0.5) - b_i                # bounds on a_i * d
+        hi_raw = (c_i + 0.5) - b_i
+        pos = a_i > 0
+        zero = a_i == 0
+        inv = jnp.where(zero, 1.0, 1.0 / jnp.where(zero, 1.0, a_i))
+        lo_i = jnp.where(pos, lo_raw * inv, hi_raw * inv)
+        hi_i = jnp.where(pos, hi_raw * inv, lo_raw * inv)
+        # a == 0: the condition is d-independent — keep or empty.
+        static_ok = (lo_raw <= 0.0) & (0.0 < hi_raw)
+        lo_i = jnp.where(zero, jnp.where(static_ok, -INFP, INFP), lo_i)
+        hi_i = jnp.where(zero, jnp.where(static_ok, INFP, -INFP), hi_i)
+        d_lo = jnp.maximum(d_lo, lo_i)
+        d_hi = jnp.minimum(d_hi, hi_i)
+    # Behind-camera guard (voxel-center camera z from the prepass).
+    d_hi = jnp.where(pcz > 0.0, d_hi, -INFP)
+
     hc_rows = high_confidence[safe_slots].astype(jnp.float32)
     active = (valid > 0) & jnp.any(hc_rows > 0, axis=1)
     active = active.astype(jnp.int32)
-
-    scalars = jnp.concatenate([
-        jnp.asarray([voxel_size_m, max_depth_m, camera.fx, camera.fy,
-                     camera.cx, camera.cy], jnp.float32),
-        T_L_C[:3, :3].reshape(-1).astype(jnp.float32),
-        T_L_C[:3, 3].astype(jnp.float32)])
 
     mask_shapes = tuple(_level_shapes(H, W))
 
@@ -217,9 +233,8 @@ def detect_dynamic_pallas(state, high_confidence, depth, T_L_C, slots,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # level/u0/v0/shift/active
         grid=(N // NB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]      # scalars
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * N_LEVELS  # depth levels
-        + [pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM)] * 9,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * N_LEVELS
+        + [pl.BlockSpec((NB, V), _blk, memory_space=pltpu.VMEM)] * 5,
         out_specs=[pl.BlockSpec(mask_shapes[l], _full,
                                 memory_space=pltpu.VMEM)
                    for l in range(N_LEVELS)],
@@ -236,8 +251,8 @@ def detect_dynamic_pallas(state, high_confidence, depth, T_L_C, slots,
         out_shape=[jax.ShapeDtypeStruct(mask_shapes[l], jnp.float32)
                    for l in range(N_LEVELS)],
         interpret=interpret,
-    )(level, u0, v0, shift, active, scalars, *levels, ut, vt, pcz,
-      u_px, v_px, cxv, cyv, czv, hc_rows)
+    )(level, u0, v0, shift, active, *levels, ut, vt,
+      d_lo.astype(jnp.float32), d_hi.astype(jnp.float32), hc_rows)
 
     # Per-level closing dilation (one-hot marks only each voxel's nearest
     # decimated pixel; footprints span up to ~2), then max-upsample.

@@ -64,21 +64,27 @@ def main():
         return m, mesh_accuracy(m, scene)
 
     out = {}
+
+    def cfg(mode, minw):
+        p = MapperParams(projective=TsdfIntegratorParams(
+            max_integration_distance_m=7.0, weighting_mode=mode))
+        return dataclasses.replace(
+            p, mesh=dataclasses.replace(p.mesh, min_weight=minw))
+
+    DROP = WeightingFunctionType.INVERSE_SQUARE_DROPOFF
+    PEN = WeightingFunctionType.INVERSE_SQUARE_TSDF_DISTANCE_PENALTY
     configs = {
-        "library_defaults_r4_bench": MapperParams(
-            projective=TsdfIntegratorParams(
-                max_integration_distance_m=7.0)),
-        "reference_operational": dataclasses.replace(
-            MapperParams(projective=TsdfIntegratorParams(
-                max_integration_distance_m=7.0,
-                weighting_mode=(WeightingFunctionType
-                                .INVERSE_SQUARE_TSDF_DISTANCE_PENALTY))),
-        ),
+        # r4 bench config: library defaults.
+        "library_defaults_r4_bench": cfg(DROP, 1e-4),
+        # nvblox_base.yaml:78,100: penalty weighting + min_weight 0.1.
+        "reference_operational": cfg(PEN, 0.1),
+        # Threshold sweep between the ghost (0.024) and surface (0.091)
+        # weight medians the first run measured.
+        "dropoff_minw_0.04": cfg(DROP, 0.04),
+        "dropoff_minw_0.06": cfg(DROP, 0.06),
+        "penalty_minw_0.02": cfg(PEN, 0.02),
+        "penalty_minw_0.04": cfg(PEN, 0.04),
     }
-    # nvblox_base.yaml:100 mesh_integrator_min_weight: 0.1
-    cfg_ref = configs["reference_operational"]
-    configs["reference_operational"] = dataclasses.replace(
-        cfg_ref, mesh=dataclasses.replace(cfg_ref.mesh, min_weight=0.1))
 
     for name, params in configs.items():
         m, acc = run(params)
