@@ -17,8 +17,12 @@ scatter to pixels with the MXU (zero gathers):
     (footprint window, rolled tile, one-hot matmuls);
   * a voxel is a *dynamic endpoint* iff it is high-confidence freespace AND
     the sampled depth's backprojected point lands inside that exact voxel
-    (containment test against the voxel bounds — no half-voxel slop, so
-    static surfaces adjacent to freespace are NOT over-detected);
+    (no half-voxel slop, so static surfaces adjacent to freespace are NOT
+    over-detected). The containment test is precomputed OUTSIDE the kernel
+    as a per-voxel depth interval [d_lo, d_hi) — the backprojected point
+    is affine in the sampled depth, so each voxel-bound check is a
+    d-interval; the kernel compares the sampled d against two rows
+    instead of running the 30-op backproject chain on (1, 512) shapes;
   * dynamic voxels mark their pixel via the TRANSPOSED one-hots:
         M[r, c] = sum_v ohv[r, v] * dyn[v] * ohu[c, v]
     one more MXU matmul per block, accumulated into per-level mask images

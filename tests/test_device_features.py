@@ -499,3 +499,39 @@ def test_freespace_slot_bucket_exact():
         origin_b, slot_bucket=512, **kw)
     for f, b in zip(full, bucketed):
         np.testing.assert_array_equal(np.asarray(f), np.asarray(b))
+
+
+def test_dilate_dense_grid_pallas_matches_xla():
+    """The fused one-pass 3^3 max-dilation kernel (r5) must match the XLA
+    roll formulation bit-for-bit (it replaces it on TPU inside the
+    freespace neighborhood check)."""
+    import jax
+    import numpy as np
+
+    from isaac_ros_nvblox_tpu.ops import halo
+
+    rng = np.random.default_rng(7)
+    lane = jnp.arange(512, dtype=jnp.int32)
+    lxyz = (lane // 64, (lane // 8) % 8, lane % 8)
+
+    def axis_max(d, cell_axis, lcoord, stride):
+        cdim = d.shape[cell_axis]
+        cidx = jax.lax.broadcasted_iota(jnp.int32, d.shape, cell_axis)
+        up = jnp.where(lcoord < 7, jnp.roll(d, -stride, axis=-1),
+                       jnp.roll(jnp.roll(d, -1, axis=cell_axis),
+                                7 * stride, axis=-1))
+        up = jnp.where((lcoord == 7) & (cidx == cdim - 1), 0.0, up)
+        dn = jnp.where(lcoord > 0, jnp.roll(d, stride, axis=-1),
+                       jnp.roll(jnp.roll(d, 1, axis=cell_axis),
+                                -7 * stride, axis=-1))
+        dn = jnp.where((lcoord == 0) & (cidx == 0), 0.0, dn)
+        return jnp.maximum(d, jnp.maximum(up, dn))
+
+    for dims_b in ((4, 3, 5), (2, 2, 1), (1, 3, 2)):
+        dense = jnp.asarray(
+            (rng.random(dims_b + (512,)) < 0.05).astype(np.float32))
+        ref = axis_max(axis_max(axis_max(dense, 2, lxyz[2], 1),
+                                1, lxyz[1], 8), 0, lxyz[0], 64)
+        out = halo.dilate_dense_grid_pallas(dense, dims_b=dims_b,
+                                            interpret=True)
+        assert np.array_equal(np.asarray(out), np.asarray(ref)), dims_b

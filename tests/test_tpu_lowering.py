@@ -115,3 +115,12 @@ def test_tsdf_color_fused_kernel_lowers_for_tpu(batch):
             d, w, cr, cg, cb, cw, slots, bidx, depth, color, T, camera=CAM,
             voxel_size_m=0.05, params=TsdfIntegratorParams())
     _lower(f, z, z, z, z, z, z)
+
+
+def test_dilate_dense_grid_lowers_for_tpu():
+    from isaac_ros_nvblox_tpu.ops.halo import dilate_dense_grid_pallas
+    dense = jnp.zeros((4, 3, 5, 512), jnp.float32)
+
+    def f(d):
+        return dilate_dense_grid_pallas(d, dims_b=(4, 3, 5))
+    _lower(f, dense)

@@ -176,7 +176,11 @@ def main():
         return best * 1e3 / n_steps
 
     variants = ["", "detp", "tsdf", "free", "free_slow", "occ",
-                "detp+tsdf+occ+free"]
+                # Interaction bisection (r5): full-stack cost exceeds the
+                # sum of single-stage marginals by ~1.1 ms — find which
+                # pairing carries it.
+                "detp+tsdf", "detp+occ", "tsdf+occ", "tsdf+free",
+                "detp+tsdf+occ", "detp+tsdf+occ+free"]
     out = {}
     for v in variants:
         timed(v, reps=1)  # compile
