@@ -1020,50 +1020,53 @@ def _compact_dirty_impl(state, dirty, *, max_blocks: int, extra=None):
                 [keys, jnp.full((n_out - keys.shape[0],), big, jnp.int32)])
         return keys
 
-    # Stage 1: compact dirty slots, scatter only them into the grid.
+    # Stage 1: compact dirty slots.
     dkeys = compact_slots(dirty & live, max_blocks)
     d_ok = dkeys < big
     d_idx = jnp.where(d_ok, dkeys, 0)
     cells_d = state.block_index_of_slot[d_idx] - state.origin_block
     ok_d = d_ok & jnp.all((cells_d >= 0) & (cells_d < dims), axis=1)
-    cells_w = jnp.where(ok_d[:, None], cells_d, dims)
-    dirty_grid = jnp.zeros(dims_t, jnp.bool_).at[
-        cells_w[:, 0], cells_w[:, 1], cells_w[:, 2]].set(True, mode="drop")
-    expanded = dirty_grid
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                if (dx, dy, dz) == (0, 0, 0):
-                    continue
-                expanded = expanded | jnp.roll(dirty_grid,
-                                               shift=(-dx, -dy, -dz),
-                                               axis=(0, 1, 2))
-    # Only allocated cells can join the batch.
-    expanded = expanded & (state.slot_grid >= 0)
+
+    # Stage 2 (r5): CANDIDATE-LIST compaction — the expanded batch is the
+    # dirty cells minus every {0,1}^3 offset (a cube re-meshes when any
+    # positive-octant corner block changes) plus the extra (pending)
+    # cells: <= 9 * max_blocks candidates, sorted + first-occurrence
+    # deduped + partial-sorted, instead of scatter/roll/top_k over the
+    # FULL world grid (131k cells at bench dims for a ~9k candidate set).
+    # Out-of-grid neighbors drop (the old roll form wrapped them to the
+    # opposite world edge — harmless wasted meshing, now gone).
+    cand_cells = [cells_d - jnp.asarray([dx, dy, dz], jnp.int32)
+                  for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    cand_ok = [ok_d] * 8
     if extra is not None:
         ekeys = compact_slots(extra & live & ~dirty, max_blocks)
         e_ok = ekeys < big
         e_idx = jnp.where(e_ok, ekeys, 0)
         cells_e = state.block_index_of_slot[e_idx] - state.origin_block
         ok_e = e_ok & jnp.all((cells_e >= 0) & (cells_e < dims), axis=1)
-        cells_we = jnp.where(ok_e[:, None], cells_e, dims)
-        expanded = expanded.at[
-            cells_we[:, 0], cells_we[:, 1], cells_we[:, 2]].set(
-            True, mode="drop")
-
-    # Stage 2: compact the expanded CELLS (top_k partial sort — replaces
-    # a 131k-key dense bitonic sort) and read their slots with one
-    # batch-sized gather.
-    M = dims_t[0] * dims_t[1] * dims_t[2]
-    flat = expanded.reshape(-1)
-    cneg = jnp.where(flat, -jnp.arange(M, dtype=jnp.int32), -big)
-    cvals, _ = jax.lax.top_k(cneg, min(max_blocks, M))
+        cand_cells.append(cells_e)
+        cand_ok.append(ok_e)
+    cand = jnp.concatenate(cand_cells)
+    okc = jnp.concatenate(cand_ok)
+    okc = okc & jnp.all((cand >= 0) & (cand < dims), axis=1)
+    lin = (cand[:, 0] * dims_t[1] + cand[:, 1]) * dims_t[2] + cand[:, 2]
+    lin = jnp.where(okc, lin, 0)
+    # Only allocated cells can join the batch.
+    alloc_ok = state.slot_grid.reshape(-1)[lin] >= 0
+    keys_all = jnp.where(okc & alloc_ok, lin, big)
+    keys_sorted = jax.lax.sort(keys_all)
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         keys_sorted[1:] != keys_sorted[:-1]]) & (keys_sorted < big)
+    K = keys_all.shape[0]
+    cvals, _ = jax.lax.top_k(
+        jnp.where(first, -keys_sorted, -big), min(max_blocks, K))
     ckeys = jnp.where(cvals > -big, -cvals, big)
     if ckeys.shape[0] < max_blocks:
         ckeys = jnp.concatenate(
             [ckeys, jnp.full((max_blocks - ckeys.shape[0],), big,
                              jnp.int32)])
-    n = jnp.sum(flat.astype(jnp.int32))
+    n = jnp.sum(first.astype(jnp.int32))
     lane = jnp.arange(max_blocks) < jnp.minimum(n, max_blocks)
     cidx = jnp.where(lane, jnp.where(ckeys < big, ckeys, 0), 0)
     cx = cidx // (dims_t[1] * dims_t[2])
